@@ -1,0 +1,95 @@
+package graft.fetch
+
+import graft.model.FetchResult
+import graft.web.{FetchResponse, SyntheticWeb, WebConfig}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Injectable fetch policy (SURVEY.md §7.1 step 5). */
+trait Fetcher extends Serializable {
+  def fetch(url: String, attempt: Int): FetchResponse
+}
+
+/** Deterministic fetcher over the synthetic web — tests + benches. */
+final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
+  @transient private lazy val web = new SyntheticWeb(cfg)
+  override def fetch(url: String, attempt: Int): FetchResponse = web.fetch(url, attempt)
+}
+
+/** Real HTTP fetcher (production path; java.net only, no extra jars).
+  * UA rotation is seeded by (url, attempt) — the deterministic analogue of
+  * the reference's random.choice over 5 UAs (proxy_manager.py:135-137). */
+final class HttpFetcher(timeoutMs: Int = 10000) extends Fetcher {
+  private val userAgents = Array(
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36")
+
+  override def fetch(url: String, attempt: Int): FetchResponse = {
+    import graft.urlkit.UrlKit
+    try {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val ua = userAgents(math.floorMod(UrlKit.xxhash64(s"ua:$url:$attempt"), userAgents.length.toLong).toInt)
+      conn.setRequestProperty("User-Agent", ua)
+      val status = conn.getResponseCode
+      val body =
+        if (status >= 200 && status < 300)
+          new String(conn.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+      conn.disconnect()
+      FetchResponse(status, body)
+    } catch {
+      case _: Exception => FetchResponse(0, "")
+    }
+  }
+}
+
+/** One scheduled request row (the scheduler's output contract). */
+final case class ScheduledRow(
+    url: String, url_hash: Long, host: String, path: String,
+    priority: Double, depth: Int, seq: Long, attempt: Int,
+    rank: Int, sched_offset_ms: Double)
+
+/** The fetch stage — the single permitted non-Catalyst `mapPartitions`
+  * (north rule; SURVEY.md §2.1 S1/S3/S5).
+  *
+  * Requests are repartitioned by `(host, salt)` — `hostSalts > 1` splits a
+  * hot host across partitions (explicit skew handling; the budget/delay
+  * were already divided by the scheduler) — and sorted by planned offset,
+  * so each partition replays its hosts' schedules in order. A per-host
+  * token bucket inside the partition enforces the minimum interval in
+  * real-time mode; in virtual-time mode (tests/bench) the planned offsets
+  * ARE the politeness evidence and no thread sleeps.
+  */
+object FetchStage {
+
+  def run(scheduled: DataFrame, fetcher: Fetcher, hostSalts: Int,
+          minIntervalMs: Long = 0L, realTime: Boolean = false): Dataset[FetchResult] = {
+    val spark = scheduled.sparkSession
+    import spark.implicits._
+    val salted = scheduled
+      .repartition(col("host"), pmod(col("url_hash"), lit(math.max(1, hostSalts))))
+      .sortWithinPartitions(col("host"), col("sched_offset_ms"))
+      .select("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt", "rank", "sched_offset_ms")
+      .as[ScheduledRow]
+
+    salted.mapPartitions { rows =>
+      val lastHit = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.map { r =>
+        if (realTime && minIntervalMs > 0) {
+          val now = System.currentTimeMillis()
+          val due = lastHit.getOrElse(r.host, 0L) + minIntervalMs
+          if (due > now) Thread.sleep(due - now)
+          lastHit(r.host) = math.max(now, due)
+        }
+        val resp = fetcher.fetch(r.url, r.attempt)
+        FetchResult(r.url, r.url_hash, r.host, r.seq, r.depth, r.attempt,
+          resp.status, resp.body,
+          if (resp.status == 200) "" else s"http_${resp.status}")
+      }
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.fetch.SyntheticFetcher
+import graft.frontier.Politeness
+import graft.images.ImageKit
+import graft.oracle.OracleCrawler
+import graft.web.{SyntheticWeb, WebConfig}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end engine ⇄ oracle equality (FIXTURES.md §4, SURVEY.md §5):
+  * same seed list + politeness budget ⇒ identical URL-seen set, identical
+  * canonical per-run order, identical payload table, per-row PSNR/caption
+  * invariants, resume-from-snapshot equality. */
+class CrawlEngineSpec extends AnyFunSuite {
+
+  private val webCfg = WebConfig(nHosts = 6, pagesPerHost = 10, hotFactor = 4,
+    failPct = 5, imagesPerPage = 3, linksPerPage = 4)
+  private val web = new SyntheticWeb(webCfg)
+  private val budget = 8
+  private val maxRetries = 3
+
+  private def newEngine(root: String, useBloom: Boolean = true): CrawlEngine =
+    new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries, useBloom, bloomBuckets = 8),
+      new SyntheticFetcher(webCfg), web.robots)
+
+  private def runOracle(): OracleCrawler = {
+    val o = new OracleCrawler(web, budget, maxRetries)
+    o.seed(web.seeds)
+    o.crawlAll()
+    o
+  }
+
+  private lazy val oracle = runOracle()
+
+  private lazy val engineRoot: String = {
+    val root = Files.createTempDirectory("crawl-e2e").toString
+    val e = newEngine(root)
+    e.seed(web.seeds)
+    val stats = e.crawlAll()
+    assert(stats.nonEmpty)
+    root
+  }
+  private def engine: CrawlEngine = newEngine(engineRoot)
+
+  test("URL-seen set equals the oracle's") {
+    val got = engine.seenSet()
+    val exp = oracle.seenSet
+    assert((got -- exp).isEmpty, s"engine fetched extra: ${(got -- exp).take(5)}")
+    assert((exp -- got).isEmpty, s"engine missed: ${(exp -- got).take(5)}")
+    assert(got.size == exp.size)
+    assert(got.nonEmpty)
+  }
+
+  test("per-run canonical order matches the oracle (same politeness budget)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val log = engine.fetchlog.read().get
+    val engineRuns = log.select("run", "url", "seq").as[(Long, String, Long)]
+      .collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._3).map(r => (r._2, r._3)).toSeq }
+    assert(engineRuns.size == oracle.runOrders.size,
+      s"run count: engine=${engineRuns.size} oracle=${oracle.runOrders.size}")
+    engineRuns.zip(oracle.runOrders).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"run $i order mismatch: got=${got.take(3)} exp=${exp.take(3)}")
+    }
+  }
+
+  test("payload table matches the oracle: ids, captions byte-equal, phash, PSNR>=40") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val imgs = engine.imageTable().get
+      .select("image_id", "caption", "phash", "bytes", "fmt", "w", "h")
+      .as[(String, String, Long, Array[Byte], String, Int, Int)].collect()
+    val byId = imgs.map(r => r._1 -> r).toMap
+    assert(byId.keySet == oracle.imagesCaptions.keySet.toSet)
+    assert(imgs.length == byId.size, "duplicate image_id rows in payload table")
+    oracle.imagesCaptions.foreach { case (id, caption) =>
+      val row = byId(id)
+      assert(row._2 == caption, s"caption mismatch for $id")
+      // per-row invariant vs independently regenerated reference payload
+      val (refBytes, w, h, fmt) = ImageKit.generate(id)
+      assert(row._5 == fmt && row._6 == w && row._7 == h)
+      assert(row._3 == ImageKit.phash(refBytes), s"phash mismatch for $id")
+      val got = ImageKit.decode(row._4)
+      val ref = ImageKit.decode(refBytes)
+      val p = ImageKit.psnr(got.rgb, ref.rgb)
+      assert(p >= 40.0, s"PSNR $p < 40 for $id ($fmt)")
+    }
+  }
+
+  test("politeness: no host exceeds its per-run budget; robots respected; retries bounded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val log = engine.fetchlog.read().get
+    val maxPerHostRun = log.groupBy("run", "host").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].collect().head
+    assert(maxPerHostRun <= budget, s"host budget exceeded: $maxPerHostRun > $budget")
+
+    val disallowed = web.robots.filter(_.disallow.nonEmpty).map(_.host).toSet
+    assert(disallowed.nonEmpty, "test web has no disallowing hosts — tighten cfg")
+    val badFetches = log.filter(org.apache.spark.sql.functions.col("host").isin(disallowed.toSeq: _*))
+      .select("url").as[String].collect()
+      .filter(u => web.robots.find(_.host == graft.urlkit.UrlKit.host(u)).get
+        .disallow.exists(p => graft.urlkit.UrlKit.path(u).startsWith(p)))
+    assert(badFetches.isEmpty, s"robots violated: ${badFetches.take(3)}")
+
+    val maxAttempt = log.agg(org.apache.spark.sql.functions.max("attempt")).as[Int].collect().head
+    assert(maxAttempt <= maxRetries)
+    assert(maxAttempt >= 2, "no retry ever happened — failPct too low to exercise R6")
+  }
+
+  test("bloom and exact-only dedup paths produce identical state") {
+    val root2 = Files.createTempDirectory("crawl-nobloom").toString
+    val e2 = newEngine(root2, useBloom = false)
+    e2.seed(web.seeds)
+    e2.crawlAll()
+    assert(e2.seenSet() == engine.seenSet())
+  }
+
+  test("resume from last committed snapshot equals uninterrupted run") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-resume").toString
+    val e1 = newEngine(root)
+    e1.seed(web.seeds)
+    // partial crawl: 2 runs, then "crash" (also leave an orphan data dir)
+    assert(e1.runOnce().isDefined && e1.runOnce().isDefined)
+    e1.fetchlog.writeOrphan(Seq(("ghost", 0L, "h", 0L, 0, 1, 200, "", 99L))
+      .toDF("url", "url_hash", "host", "seq", "depth", "attempt", "status", "error", "run"))
+    // fresh engine on the same root (restart) — delay controller state is
+    // recomputed, so re-derive it the same way the crashed run did
+    val e2 = newEngine(root)
+    e2.crawlAll()
+    assert(e2.seenSet() == engine.seenSet(), "resumed seen-set differs")
+    val imgsResumed = e2.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    val imgsFull = engine.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    assert(imgsResumed == imgsFull, "resumed payload table differs")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.frontier.{BloomDedup, CuckooFilter}
+import org.scalatest.funsuite.AnyFunSuite
+
+class FilterSpec extends AnyFunSuite {
+
+  test("cuckoo: no false negatives; deletes work; fpr is small") {
+    val cf = CuckooFilter.create(10000)
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 5000).map(_ => rnd.nextLong()).distinct
+    keys.foreach(k => assert(cf.insert(k), s"insert failed for $k"))
+    keys.foreach(k => assert(cf.mightContain(k), s"false negative for $k"))
+    val absent = (1 to 5000).map(_ => rnd.nextLong()).filterNot(keys.toSet)
+    val fpr = absent.count(cf.mightContain).toDouble / absent.size
+    assert(fpr < 0.01, s"fpr $fpr too high")
+    // delete half, they must be able to disappear; others stay
+    val (del, keep) = keys.splitAt(keys.size / 2)
+    del.foreach(k => assert(cf.delete(k)))
+    keep.foreach(k => assert(cf.mightContain(k), "delete broke a kept key"))
+    val resurrected = del.count(cf.mightContain).toDouble / del.size
+    assert(resurrected < 0.05, s"too many deleted keys still present: $resurrected")
+  }
+
+  test("cuckoo: serialize/deserialize preserves membership") {
+    val cf = CuckooFilter.create(1000)
+    val keys = (1L to 500L).map(k => k * 7919)
+    keys.foreach(cf.insert)
+    val back = CuckooFilter.deserialize(cf.serialize())
+    keys.foreach(k => assert(back.mightContain(k)))
+  }
+
+  test("bloom dedup equals exact anti-join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val seenHashes = (1 to 2000).map(_ => rnd.nextLong()).distinct
+    val candHashes = (seenHashes.take(800) ++ (1 to 1500).map(_ => rnd.nextLong())).distinct
+    val seen = seenHashes.toDF("url_hash")
+    val cand = candHashes.map(h => (h, s"u$h")).toDF("url_hash", "url")
+
+    val exact = cand.join(seen, Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect().sorted
+    val idx = BloomDedup.buildIndex(seen, numBuckets = 8, expectedPerBucket = 1024)
+    assert(idx.count() <= 8)
+    val viaBloom = BloomDedup.dedup(cand, seen, Some(idx), numBuckets = 8)
+      .select("url_hash").as[Long].collect().sorted
+    assert(viaBloom.toSeq == exact.toSeq)
+
+    // repartition-by-bucket path (the huge-index plan) agrees too
+    val viaRepart = BloomDedup.dedup(cand, seen, Some(idx), numBuckets = 8,
+      repartitionByBucket = true).select("url_hash").as[Long].collect().sorted
+    assert(viaRepart.toSeq == exact.toSeq)
+  }
+}
