@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{CrawlQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,24 @@ object SparkEntry {
     "q13_validation"      -> (Relational.q13Validation _),
     "q14_null_normalize"  -> (Relational.q14NullNormalize _),
     "q15_regex_extract"   -> (Relational.q15RegexExtract _),
+    "q16_url_canonicalize" -> (CrawlQueries.q16UrlCanonicalize _),
+    "q17_frontier_dedup"   -> (CrawlQueries.q17FrontierDedup _),
+    "q18_host_schedule"    -> (CrawlQueries.q18HostSchedule _),
+    "q19_robots_filter"    -> (CrawlQueries.q19RobotsFilter _),
+    "q20_retry_state"      -> (CrawlQueries.q20RetryState _),
+    "q21_crawl_order"      -> (CrawlQueries.q21CrawlOrder _),
+    "q22_dedup_exact"         -> (TrainingData.q22DedupExact _),
+    "q23_minhash_lsh"         -> (TrainingData.q23MinhashLsh _),
+    "q24_jaccard_pairs"       -> (TrainingData.q24JaccardPairs _),
+    "q25_simhash"             -> (TrainingData.q25Simhash _),
+    "q26_cosine_topk"         -> (TrainingData.q26CosineTopk _),
+    "q27_ann_ivf"             -> (TrainingData.q27AnnIvf _),
+    "q28_lang_id"             -> (TrainingData.q28LangId _),
+    "q29_quality_score"       -> (TrainingData.q29QualityScore _),
+    "q30_token_count"         -> (TrainingData.q30TokenCount _),
+    "q31_doc_fingerprint"     -> (TrainingData.q31DocFingerprint _),
+    "q32_stream_window"       -> (TrainingData.q32StreamWindow _),
+    "q33_multimodal_features" -> (TrainingData.q33MultimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +70,22 @@ object SparkEntry {
     "q13_validation"      -> Relational.q13Sql,
     "q14_null_normalize"  -> Relational.q14Sql,
     "q15_regex_extract"   -> Relational.q15Sql,
+    "q16_url_canonicalize" -> CrawlQueries.q16Sql,
+    "q17_frontier_dedup"   -> CrawlQueries.q17Sql,
+    "q18_host_schedule"    -> CrawlQueries.q18Sql,
+    "q19_robots_filter"    -> CrawlQueries.q19Sql,
+    "q20_retry_state"      -> CrawlQueries.q20Sql,
+    "q21_crawl_order"      -> CrawlQueries.q21Sql,
+    "q22_dedup_exact"     -> TrainingData.q22Sql,
+    "q24_jaccard_pairs"   -> TrainingData.q24Sql,
+    "q26_cosine_topk"     -> TrainingData.q26Sql,
+    "q28_lang_id"         -> TrainingData.q28Sql,
+    "q29_quality_score"   -> TrainingData.q29Sql,
+    "q30_token_count"     -> TrainingData.q30Sql,
+    "q31_doc_fingerprint" -> TrainingData.q31Sql,
+    "q32_stream_window"   -> TrainingData.q32Sql,
+    // q23/q25/q27/q33 are not SQL-expressible in DuckDB (minhash/simhash
+    // signatures, IVF assignment, image decode) → rows-only check; their
+    // semantics are pinned by ScalaTest oracles in TrainingDataSpec.
   )
 }

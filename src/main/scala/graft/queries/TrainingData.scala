@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.Tables
+import graft.images.ImageKit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` / `embeddings` /
+  * `events` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force + IVF),
+  * text analysis (lang-id, quality, tokens, fingerprint), streaming
+  * windows and multimodal binary-payload plumbing.
+  *
+  * Everything is Catalyst-native (higher-order array functions + built-in
+  * hashes); the only mapPartitions is the image decode in
+  * [[q33MultimodalFeatures]] (binary payloads, same stage class as the
+  * engine's payload fetch).
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on a content key, keep min doc_id
+    * (first-writer-wins, the crawl engine's image dedup rule). */
+  def q22DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("content_key", md5(concat_ws("|", col("lang"), col("source"))))
+    val w = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("kept_doc"), (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy("content_key")
+  }
+
+  val q22Sql: String =
+    """SELECT md5(lang || '|' || source) AS content_key,
+      |  MIN(doc_id) AS kept_doc, COUNT(*) - 1 AS n_dropped
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Tokens + word-3-gram shingles, shared by the near-dup family. */
+  private def withShingles(d: DataFrame): DataFrame =
+    d.withColumn("tokens", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(tokens) - 3, 0)),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin))
+
+  /** Corpus with planted near-duplicates (doc_id+100000 = same text minus
+    * its first `dropWords` words) so the near-dup detectors have real
+    * signal. MinHash (set-overlap detector) gets a heavier edit than
+    * SimHash (small-edit detector, Manku et al. WWW'07 use hamming ≤ 3
+    * on whole documents). */
+  private def corpusWithNearDups(spark: SparkSession, dir: String, dropWords: Int): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val mutated = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), s"^(\\S+\\s+){$dropWords}", "").as("text"))
+    base.unionByName(mutated)
+  }
+
+  /** MinHash(64) + LSH(16 bands × 4 rows): shingle → minhash signature →
+    * band-bucket join → candidate pairs → signature-estimated Jaccard.
+    * The standard shingle/minhash/band pipeline (Broder '97; MMDS ch.3),
+    * expressed with higher-order functions — no UDFs, no driver loops. */
+  def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = withShingles(corpusWithNearDups(spark, dir, dropWords = 3))
+      .withColumn("sig", expr(
+        "transform(sequence(0,63), p -> array_min(transform(shingles, s -> xxhash64(p, s))))"))
+      .select("doc_id", "sig")
+    val bands = d.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0,15), b -> struct(b as band, xxhash64(b, slice(sig, b*4+1, 4)) as bh))"))
+          .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val a = bands.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0")
+          .as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_sim"), 4).cast("double").as("est_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash(64): per-token xxhash64, bit-majority vote; near-dups via
+    * 8×8-bit band blocking + hamming ≤ 8 (Charikar '02 / Manku '07 —
+    * pigeonhole: ≤7 flipped bits guarantee one clean 8-bit chunk; at
+    * corpus scale the chunk width widens to 16 to keep buckets sparse). */
+  def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = corpusWithNearDups(spark, dir, dropWords = 1)
+      .withColumn("tokens", expr("array_distinct(split(lower(text), '\\\\s+'))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> shiftleft(acc, 1) +
+          |  if(aggregate(tokens, 0L,
+          |       (a, t) -> a + if((shiftright(xxhash64(t), 63 - i) & 1L) = 1L, 1L, -1L)) >= 0L,
+          |     1L, 0L))""".stripMargin))
+      .select("doc_id", "simhash")
+    val bands = d.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0,7), b -> struct(b as band, shiftright(simhash, b*8) & 255L as chunk))"))
+          .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+    val a = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sh_a ^ sh_b") cast "long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram (word-set) Jaccard near-dup pairs, blocked by (lang, source)
+    * — the SQL-checkable exact-similarity member of the dedup family. */
+  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("words", expr("array_distinct(split(lower(text), '\\\\s+'))"))
+      .select(col("doc_id"), col("lang"), col("source"), col("words"),
+        size(col("words")).as("nw"))
+    val ex = d.select(col("doc_id"), col("lang"), col("source"), col("nw"),
+      explode(col("words")).as("word"))
+    val a = ex.select(col("lang"), col("source"), col("word"),
+      col("doc_id").as("doc_a"), col("nw").as("nw_a"))
+    val b = ex.select(col("lang"), col("source"), col("word"),
+      col("doc_id").as("doc_b"), col("nw").as("nw_b"))
+    a.join(b, Seq("lang", "source", "word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nw_a"), col("nw_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("nw_a") + col("nw_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q24Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split_regex(lower(text), '\s+')) AS words
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, lang, source, len(words) AS nw, UNNEST(words) AS word FROM d)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    ROUND(COUNT(*) / (a.nw + b.nw - COUNT(*)), 4) AS jaccard
+      |  FROM ex a JOIN ex b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nw, b.nw)
+      |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------- similarity search
+
+  private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+
+  private val cosineExpr =
+    """aggregate(zip_with(emb, q, (x, y) -> x * y), 0D, (a, v) -> a + v) /
+      |(sqrt(aggregate(emb, 0D, (a, v) -> a + v * v)) *
+      | sqrt(aggregate(q, 0D, (a, v) -> a + v * v)))""".stripMargin
+
+  /** Brute-force cosine top-k vs a query vector (vec_id 0), the exact
+    * baseline for ANN. Pure higher-order-function arithmetic. */
+  def q26CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("q"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), round(expr(cosineExpr), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q26Sql: String =
+    """SELECT vec_id, label,
+      |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-style ANN: K=8 seeded centroids (vectors 0..7), every vector
+    * assigned to its nearest centroid (one broadcast join — the scale
+    * path: a full IVF probes only nprobe inverted lists instead of the
+    * whole corpus). Returns the per-cluster top-3 nearest to the query. */
+  def q27AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("q"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), expr(cosineExpr).as("sim"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("cent_id"))
+    val clustered = assigned.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), round(col("sim"), 6).as("cent_sim"))
+    val wTop = Window.partitionBy(col("cent_id")).orderBy(desc("cent_sim"), asc("vec_id"))
+    clustered.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("cent_id"), col("vec_id"), col("cent_sim"), col("rk"))
+      .orderBy("cent_id", "rk")
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Language-ID heuristic: function-word ratios per language family
+    * (n-gram/stopword heuristic; deterministic, SQL-checkable). */
+  def q28LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("tokens", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("n_en", expr(
+        "size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and', 'is')))"))
+    d.select(col("doc_id"),
+        when(col("n_tok") > 0 && col("n_en") / col("n_tok") >= 0.05, "en")
+          .otherwise("und").as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+  }
+
+  val q28Sql: String =
+    """SELECT lang_pred, COUNT(*) AS n FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN n_tok > 0 AND CAST(n_en AS DOUBLE) / n_tok >= 0.05
+      |         THEN 'en' ELSE 'und' END AS lang_pred
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n_tok,
+      |      len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS n_en
+      |    FROM (SELECT doc_id,
+      |            string_split_regex(lower(text), '\s+') AS toks
+      |          FROM documents)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Quality scoring: length/punctuation/stopword/digit ratios
+    * (C4/Gopher-style heuristics, SQL-checkable arithmetic). */
+  def q29QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_tok", size(split(col("text"), "\\s+")))
+      .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("n_digit", length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+    d.select(col("doc_id"),
+        col("n_tok"),
+        round(col("n_punct") / col("n_chars_m"), 4).as("punct_ratio"),
+        round(col("n_digit") / col("n_chars_m"), 4).as("digit_ratio"),
+        round(col("n_chars_m") / col("n_tok"), 4).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  val q29Sql: String =
+    """SELECT doc_id, n_tok,
+      |  ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+      |  ROUND(CAST(n_digit AS DOUBLE) / n_chars_m, 4) AS digit_ratio,
+      |  ROUND(CAST(n_chars_m AS DOUBLE) / n_tok, 4) AS chars_per_tok
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars_m,
+      |    len(string_split_regex(text, '\s+')) AS n_tok,
+      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  def q30TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text
+    * (the cheap exact-dup content key at corpus scale). */
+  def q31DocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- streaming / windows
+
+  /** Tumbling event-time window aggregation (the batch equivalent of the
+    * Structured Streaming pipeline in graft.streaming). */
+  def q32StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val q32Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Multimodal binary-payload pipeline: deterministic image bytes as an
+    * opaque binary column with typed metadata, then decode + feature
+    * extraction (mean brightness, phash) in a batched partition pass —
+    * the Scala analogue of a mapInPandas image stage. The decode is real
+    * (javax.imageio); at cluster scale the same shape holds with the
+    * bytes column read from the payload table. */
+  def q33MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 64)
+      .select(col("vec_id"), concat(lit("img-"), lpad(col("vec_id").cast("string"), 8, "0")).as("image_id"))
+    e.select("vec_id", "image_id").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (vecId, id) =>
+          val (bytes, w, h, fmt) = ImageKit.generate(id)
+          val d = ImageKit.decode(bytes)
+          val brightness = d.rgb.map(p =>
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0).sum / d.rgb.length
+          (vecId, id, fmt, w, h, bytes.length, ImageKit.phash(bytes),
+            math.round(brightness * 100.0) / 100.0)
+        }
+      }
+      .toDF("vec_id", "image_id", "fmt", "w", "h", "n_bytes", "phash", "brightness")
+      .orderBy("vec_id")
+  }
+}

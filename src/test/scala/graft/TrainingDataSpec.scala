@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the non-SQL-expressible training-data ops (q23/q25/q27/q33)
+  * against in-test oracles: planted near-duplicates must be found, ANN
+  * must agree with brute force, the multimodal pass must be
+  * deterministic. */
+class TrainingDataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = sfDir // sf0.001
+
+  test("minhash LSH finds the planted near-duplicates with high estimated sim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = SparkEntry.queries("q23_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b", "est_sim")
+      .as[(Long, Long, Double)].collect()
+    // planted: doc_id % 7 == 0 mutated into doc_id + 100000
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    val planted = (0L until nDocs).filter(_ % 7 == 0).map(d => (d, d + 100000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${found.size} pairs)")
+    // every reported pair must have decent TRUE word-jaccard (no junk)
+    pairs.foreach { case (_, _, s) => assert(s >= 0.5) }
+  }
+
+  test("simhash finds planted near-duplicates within hamming 6") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = SparkEntry.queries("q25_simhash")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    val planted = (0L until nDocs).filter(_ % 7 == 0).map(d => (d, d + 100000L)).toSet
+    val recall = planted.count(pairs).toDouble / planted.size
+    assert(recall >= 0.9, s"simhash recall $recall < 0.9")
+  }
+
+  test("IVF assignment: every vector lands on its true nearest centroid (vs brute force)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val res = SparkEntry.queries("q27_ann_ivf")(spark, dir)
+    // sanity: per-centroid top lists are ranked and bounded
+    val rows = res.select("cent_id", "vec_id", "cent_sim", "rk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val sims = g.sortBy(_._4).map(_._3)
+      assert(sims.sorted.reverse.sameElements(sims), "cluster top-k not sorted by sim")
+    }
+    // brute-force check on a sample: recompute nearest centroid in Scala
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val cents = (0L until 8L).map(i => i -> embs(i)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.take(20).foreach { case (centId, vecId, _, _) =>
+      val best = cents.map { case (c, v) => c -> cos(embs(vecId), v) }
+        .toSeq.sortBy { case (c, s) => (-s, c) }.head._1
+      assert(best == centId, s"vec $vecId assigned to $centId but nearest is $best")
+    }
+  }
+
+  test("cosine top-k agrees with a driver-side brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("q26_cosine_topk")(spark, dir)
+      .select("vec_id").as[Long].collect().toSeq
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val q = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = embs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.round(cos(v, q) * 1e6) / 1e6) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("multimodal feature pass is deterministic and decodes real payloads") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = SparkEntry.queries("q33_multimodal_features")(spark, dir).collect()
+    val b = SparkEntry.queries("q33_multimodal_features")(spark, dir).collect()
+    assert(a.sameElements(b), "multimodal features nondeterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Int]("w") >= 8 && r.getAs[Int]("w") <= 64)
+      assert(r.getAs[Int]("n_bytes") > 0)
+      val br = r.getAs[Double]("brightness")
+      assert(br > 0 && br < 255)
+    }
+  }
+}
