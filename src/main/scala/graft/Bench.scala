@@ -1,24 +1,130 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench harness. Prints ONE JSON line per the driver contract:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * The queries map carries headline query timings plus the crawl-stage
+  * throughput benches (urls/sec keys end in "_per_sec").
+  *
+  * Stage benches mirror the BASELINE.json metric definition:
+  *  - fetch+parse throughput: a pre-planned frontier slice through the
+  *    fetch mapPartitions + the Catalyst link/image parse;
+  *  - frontier-dedup throughput: candidates through canonicalize →
+  *    xxhash64 → Bloom-block prefilter → exact anti-join;
+  *  - image payload throughput: deterministic codec + phash.
+  * Inputs are generated lazily from spark.range (the 10^10-frontier
+  * scale path: nothing materialized up front).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Pre-planned fetch slice of `n` URLs over a wide synthetic web. */
+  def benchFetchParse(spark: SparkSession, n: Long): Double = {
+    import graft.fetch.{FetchStage, SyntheticFetcher}
+    val webCfg = graft.web.WebConfig(nHosts = 64, pagesPerHost = (n / 64 + 1).toInt, hotFactor = 1)
+    val scheduled = spark.range(n).select(
+      concat(lit("http://host-"), lpad((col("id") % 64).cast("string"), 3, "0"),
+        lit(".test/page/"), (col("id") / 64).cast("long").cast("string")).as("url"),
+      concat(lit("host-"), lpad((col("id") % 64).cast("string"), 3, "0"), lit(".test")).as("host"),
+      lit("/page/0").as("path"), lit(0.0).as("priority"), lit(0).as("depth"),
+      col("id").as("seq"), lit(1).as("attempt"),
+      lit(1).as("rank"), col("id").cast("double").as("sched_offset_ms"))
+      .withColumn("url_hash", xxhash64(col("url")))
+    val results = FetchStage.run(scheduled, new SyntheticFetcher(webCfg), hostSalts = 4).toDF()
+    val (_, secs) = timed {
+      // force the parse too: count links across all fetched bodies
+      results.select(size(expr("regexp_extract_all(body, '<a href=\"([^\"]*)\"', 1)")).as("n"))
+        .agg(sum("n")).collect()
+    }
+    n / secs
+  }
+
+  /** Candidates through the Bloom prefilter + exact anti-join. */
+  def benchDedup(spark: SparkSession, nCand: Long, nSeen: Long): Double = {
+    import graft.frontier.BloomDedup
+    val seen = spark.range(nSeen)
+      .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+    // ~50% of candidates overlap the seen set
+    val cand = spark.range(nCand)
+      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
+        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+    val idx = BloomDedup.buildIndex(seen, numBuckets = 64,
+      expectedPerBucket = nSeen / 64 + 1).cache()
+    idx.count() // build once, outside the timed section (steady-state index)
+    val (_, secs) = timed {
+      BloomDedup.dedup(cand, seen, Some(idx), numBuckets = 64).count()
+    }
+    idx.unpersist()
+    nCand / secs
+  }
+
+  /** Deterministic image payload generation + phash. */
+  def benchImages(spark: SparkSession, n: Long): Double = {
+    import spark.implicits._
+    val ids = spark.range(n).select(concat(lit("img-"),
+      lpad(col("id").cast("string"), 8, "0")).as("id")).as[String]
+    val (_, secs) = timed {
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val (bytes, _, _, _) = graft.images.ImageKit.generate(id)
+          java.lang.Long.bitCount(graft.images.ImageKit.phash(bytes)).toLong
+        }
+      }.agg(sum("value")).collect()
+    }
+    n / secs
+  }
+
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_revenue", "q04_top_customers",
+    "q08_topk_per_group", "q09_sliding_window", "q17_frontier_dedup",
+    "q18_host_schedule", "q24_jaccard_pairs", "q26_cosine_topk",
+    "q32_stream_window")
+
+  def session(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+
+    val queryTimes = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, secs) = timed(fn(spark, sfDir).count())
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val fetchRate = benchFetchParse(spark, 512L * 1024)
+    val dedupRate = benchDedup(spark, 4L * 1024 * 1024, 2L * 1024 * 1024)
+    val imageRate = benchImages(spark, 20000)
+
+    val entries = queryTimes ++ Seq(
+      "crawl_fetch_parse_urls_per_sec" -> fetchRate,
+      "frontier_dedup_urls_per_sec" -> dedupRate,
+      "image_payload_per_sec" -> imageRate)
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = queryTimes.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus}""")
     spark.stop()
   }
 }

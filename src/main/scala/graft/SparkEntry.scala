@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CrawlQueries, Relational, TrainingData}
+import graft.queries.{CrawlQueries, NLQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,8 @@ object SparkEntry {
     "q31_doc_fingerprint"     -> (TrainingData.q31DocFingerprint _),
     "q32_stream_window"       -> (TrainingData.q32StreamWindow _),
     "q33_multimodal_features" -> (TrainingData.q33MultimodalFeatures _),
+    "q34_nl_field_match"      -> (NLQueries.q34NlFieldMatch _),
+    "q35_nl_predicate"        -> (NLQueries.q35NlPredicate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +89,7 @@ object SparkEntry {
     // q23/q25/q27/q33 are not SQL-expressible in DuckDB (minhash/simhash
     // signatures, IVF assignment, image decode) → rows-only check; their
     // semantics are pinned by ScalaTest oracles in TrainingDataSpec.
+    "q34_nl_field_match" -> NLQueries.q34Sql,
+    "q35_nl_predicate"   -> NLQueries.q35Sql,
   )
 }

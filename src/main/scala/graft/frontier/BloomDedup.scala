@@ -69,44 +69,42 @@ object BloomDedup {
         candidates.join(seenKeys, Seq("url_hash"), "left_anti")
       case Some(idx) =>
         val outCols = candidates.columns
-        val withBucket = candidates
-          .withColumn("__bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
-        val located =
-          if (repartitionByBucket) withBucket.repartition(col("__bucket"))
-          else withBucket
-        val joined = located.join(idx.withColumnRenamed("bucket", "__bucket"),
-          Seq("__bucket"), "left_outer")
+        val spark = candidates.sparkSession
+        // per-build epoch: makes the executor-side block cache key unique
+        // across index rebuilds (see BloomMightContain scaladoc)
+        val epoch = new java.security.SecureRandom().nextLong()
 
-        // permitted mapPartitions #2: bloom-block membership test with a
-        // per-partition block cache (each distinct block deserialized once)
-        val schema = org.apache.spark.sql.types.StructType(
-          joined.schema.filterNot(_.name == "bloom")
-            .:+(org.apache.spark.sql.types.StructField("__maybe", org.apache.spark.sql.types.BooleanType)))
-        val bloomIdx = joined.schema.fieldIndex("bloom")
-        val keep = joined.schema.zipWithIndex.filterNot(_._1.name == "bloom").map(_._2)
-        val hashIdx = joined.schema.fieldIndex("url_hash")
-        val bucketIdx = joined.schema.fieldIndex("__bucket")
-        val flagged = joined.mapPartitions { rows =>
-          val cache = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
-          rows.map { r =>
-            val maybe =
-              if (r.isNullAt(bloomIdx)) false // no block for bucket → nothing seen there
-              else {
-                val bucket = r.getInt(bucketIdx)
-                val bf = cache.getOrElseUpdate(bucket,
-                  BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](bloomIdx))))
-                bf.mightContainLong(r.getLong(hashIdx))
-              }
-            org.apache.spark.sql.Row.fromSeq(keep.map(r.get) :+ maybe)
-          }
-        }(Encoders.row(schema))
+        // ship the serialized blocks once per executor via broadcast —
+        // measured: joining the binary blocks against candidates re-copies
+        // a block out of its UnsafeRow per candidate row, which costs more
+        // than the exact anti-join Bloom is meant to save. The broadcast
+        // regime holds while the index fits the driver (~64 MB per 50M
+        // seen at 1% fpp); past that, partition the seen table by
+        // hash-range on disk and dedup bucket-aligned slices (each slice's
+        // index small again) — see SnapshotTable bucketing notes.
+        val blocks: Map[Int, Array[Byte]] = idx.collect()
+          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        val bc = spark.sparkContext.broadcast(blocks)
 
-        val definiteNew = flagged.filter(!col("__maybe"))
+        // optional bucket-alignment (hash-range locality for downstream
+        // bucket-partitioned sinks; the test itself no longer needs it)
+        val candIn =
+          if (repartitionByBucket)
+            candidates.repartition(pmod(col("url_hash"), lit(numBuckets)).cast("int"))
+          else candidates
+        val flagged = candIn.withColumn("__maybe",
+          graft.functions.BloomMightContain(epoch, bc,
+            pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
+
+        // single-pass conditional anti-join: a definite-new row
+        // (__maybe = false) can never satisfy the condition, so it
+        // survives without probing the seen side; only fpp·|candidates|
+        // + true duplicates hit the exact set. One scan of the candidate
+        // subtree (no union → no double compute).
+        val seenK = seenKeys.withColumnRenamed("url_hash", "__seen_hash")
+        flagged.join(seenK,
+            col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
           .select(outCols.map(col): _*)
-        val maybeSeen = flagged.filter(col("__maybe"))
-          .select(outCols.map(col): _*)
-          .join(seenKeys, Seq("url_hash"), "left_anti")
-        definiteNew.unionByName(maybeSeen)
     }
   }
 }
