@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CrawlQueries, NLQueries, Relational, TrainingData}
+import graft.queries.{CrawlQueries, Extras, NLQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,9 @@ object SparkEntry {
     "q33_multimodal_features" -> (TrainingData.q33MultimodalFeatures _),
     "q34_nl_field_match"      -> (NLQueries.q34NlFieldMatch _),
     "q35_nl_predicate"        -> (NLQueries.q35NlPredicate _),
+    "q36_collect_set"         -> (Extras.q36CollectSet _),
+    "q37_pattern_extract"     -> (Extras.q37PatternExtract _),
+    "q38_json_parse"          -> (Extras.q38JsonParse _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +94,8 @@ object SparkEntry {
     // semantics are pinned by ScalaTest oracles in TrainingDataSpec.
     "q34_nl_field_match" -> NLQueries.q34Sql,
     "q35_nl_predicate"   -> NLQueries.q35Sql,
+    "q36_collect_set"     -> Extras.q36Sql,
+    "q37_pattern_extract" -> Extras.q37Sql,
+    "q38_json_parse"      -> Extras.q38Sql,
   )
 }

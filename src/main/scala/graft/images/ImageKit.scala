@@ -22,6 +22,11 @@ import graft.urlkit.UrlKit
   */
 object ImageKit {
 
+  // javax.imageio defaults to DISK-backed stream caches (temp files) —
+  // 32 concurrent encoder threads then serialize on temp-file creation
+  // and scaling inverts (measured). Keep the caches in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Decoded(w: Int, h: Int, rgb: Array[Int])
 
   /** Width/height in [8, 64], deterministic in the id. */
