@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_collect_set"         -> (Extras.q36CollectSet _),
     "q37_pattern_extract"     -> (Extras.q37PatternExtract _),
     "q38_json_parse"          -> (Extras.q38JsonParse _),
+    "q39_date_range"          -> (Extras.q39DateRange _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
     "q36_collect_set"     -> Extras.q36Sql,
     "q37_pattern_extract" -> Extras.q37Sql,
     "q38_json_parse"      -> Extras.q38Sql,
+    "q39_date_range"      -> Extras.q39Sql,
   )
 }

@@ -42,6 +42,18 @@ object PageParser {
   def title(html: String): Option[String] =
     TitleRe.findFirstMatchIn(html).map(_.group(1).trim)
 
+  /** F8: meta tags `<meta name=... content=...>` (lib/utils.py:163-239). */
+  private val MetaRe =
+    """(?i)<meta\s[^>]*name\s*=\s*"([^"]*)"[^>]*content\s*=\s*"([^"]*)"[^>]*>""".r
+  def metaTags(html: String): Map[String, String] =
+    MetaRe.findAllMatchIn(html).map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+
+  /** F8: headings h1-h6 in document order. */
+  private val HeadingRe = """(?is)<h([1-6])[^>]*>(.*?)</h\1>""".r
+  def headings(html: String): Seq[(Int, String)] =
+    HeadingRe.findAllMatchIn(html)
+      .map(m => m.group(1).toInt -> stripTags(m.group(2)).trim).toSeq
+
   /** F3: pagination total — 3rd `<b>` "Results 1-30 of <b>N</b>"
     * (fpds_enhanced_extractor.py:177-202). */
   def paginationTotal(html: String): Option[Long] =

@@ -92,4 +92,21 @@ object Extras {
       |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |  FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** F12: month/year range → (first day, last day) via trunc/last_day
+    * (fpds_high_performance.py:585-626 calendar.monthrange semantics). */
+  def q39DateRange(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(date_format(trunc(col("o_orderdate"), "MM"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .groupBy("month_start", "month_end")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("month_start")
+  }
+
+  val q39Sql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }
