@@ -46,6 +46,33 @@ object Bench {
     n / secs
   }
 
+  /** Fetch stage with a simulated network round-trip per request — the
+    * realistic regime for "URLs fetched/sec": a crawler is latency-bound,
+    * and task slots overlap waits. Uses the same FetchStage machinery
+    * with a latency-wrapping fetcher. */
+  def benchFetchLatency(spark: SparkSession, n: Long, rttMs: Int): Double = {
+    import graft.fetch.{FetchStage, Fetcher, SyntheticFetcher}
+    val webCfg = graft.web.WebConfig(nHosts = 256, pagesPerHost = (n / 256 + 1).toInt, hotFactor = 1)
+    final class LatencyFetcher(inner: SyntheticFetcher, ms: Int) extends Fetcher {
+      override def fetch(url: String, attempt: Int): graft.web.FetchResponse = {
+        Thread.sleep(ms) // stands in for the network RTT
+        inner.fetch(url, attempt)
+      }
+    }
+    val scheduled = spark.range(n).select(
+      concat(lit("http://host-"), lpad((col("id") % 256).cast("string"), 3, "0"),
+        lit(".test/page/"), (col("id") / 256).cast("long").cast("string")).as("url"),
+      concat(lit("host-"), lpad((col("id") % 256).cast("string"), 3, "0"), lit(".test")).as("host"),
+      lit("/page/0").as("path"), lit(0.0).as("priority"), lit(0).as("depth"),
+      col("id").as("seq"), lit(1).as("attempt"),
+      lit(1).as("rank"), col("id").cast("double").as("sched_offset_ms"))
+      .withColumn("url_hash", xxhash64(col("url")))
+    val results = FetchStage.run(scheduled,
+      new LatencyFetcher(new SyntheticFetcher(webCfg), rttMs), hostSalts = 4)
+    val (_, secs) = timed(results.toDF().filter(col("status") === 200).count())
+    n / secs
+  }
+
   /** Candidates through the Bloom prefilter + exact anti-join. */
   def benchDedup(spark: SparkSession, nCand: Long, nSeen: Long): Double = {
     import graft.frontier.BloomDedup

@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_pattern_extract"     -> (Extras.q37PatternExtract _),
     "q38_json_parse"          -> (Extras.q38JsonParse _),
     "q39_date_range"          -> (Extras.q39DateRange _),
+    "q40_fallback_extract"    -> (Extras.q40FallbackExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "q37_pattern_extract" -> Extras.q37Sql,
     "q38_json_parse"      -> Extras.q38Sql,
     "q39_date_range"      -> Extras.q39Sql,
+    "q40_fallback_extract" -> Extras.q40Sql,
   )
 }

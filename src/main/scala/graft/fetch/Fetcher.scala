@@ -67,11 +67,22 @@ final case class ScheduledRow(
 object FetchStage {
 
   def run(scheduled: DataFrame, fetcher: Fetcher, hostSalts: Int,
-          minIntervalMs: Long = 0L, realTime: Boolean = false): Dataset[FetchResult] = {
+          minIntervalMs: Long = 0L, realTime: Boolean = false,
+          fetchPartitions: Int = 0): Dataset[FetchResult] = {
     val spark = scheduled.sparkSession
     import spark.implicits._
+    // Pin the partition count explicitly: fetch parallelism is a
+    // politeness/concurrency decision, not a data-volume one — AQE's
+    // coalescing otherwise merges a small batch's tiny shuffle blocks
+    // into ONE partition and serializes every request behind a single
+    // task slot (measured: a 2 ms-RTT batch ran at 1x instead of
+    // n-cores x). A user-specified numPartitions is exempt from AQE
+    // coalescing.
+    val nPart =
+      if (fetchPartitions > 0) fetchPartitions
+      else spark.sparkContext.defaultParallelism
     val salted = scheduled
-      .repartition(col("host"), pmod(col("url_hash"), lit(math.max(1, hostSalts))))
+      .repartition(nPart, col("host"), pmod(col("url_hash"), lit(math.max(1, hostSalts))))
       .sortWithinPartitions(col("host"), col("sched_offset_ms"))
       .select("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt", "rank", "sched_offset_ms")
       .as[ScheduledRow]

@@ -109,4 +109,45 @@ object Extras {
       |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Fallback selector chain + per-field confidence (SURVEY.md §2.11 —
+    * lib/rule_parser.py:177-201 first-non-empty-of-N ≙ coalesce; :109-113
+    * confidence attach). Three extractors of descending confidence run
+    * over a synthesized page snippet; the first that matches wins. */
+  def q40FallbackExtract(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    // page snippet shape varies by partkey: some have the primary span,
+    // some only the legacy cell, some only raw text
+    val pages = p.select(col("p_partkey"),
+      when(col("p_partkey") % 3 === 0,
+        concat(lit("<span class=\"price\">"), col("p_retailprice").cast("decimal(12,2)").cast("string"), lit("</span>")))
+        .when(col("p_partkey") % 3 === 1,
+          concat(lit("<td class=\"amount\">"), col("p_retailprice").cast("decimal(12,2)").cast("string"), lit("</td>")))
+        .otherwise(concat(lit("price is "), col("p_retailprice").cast("decimal(12,2)").cast("string"), lit(" usd")))
+        .as("snippet"))
+    val primary = regexp_extract(col("snippet"), "<span class=\"price\">([0-9.]+)</span>", 1)
+    val legacy = regexp_extract(col("snippet"), "<td class=\"amount\">([0-9.]+)</td>", 1)
+    val loose = regexp_extract(col("snippet"), "price is ([0-9.]+)", 1)
+    pages.select(col("p_partkey"),
+        coalesce(nullif(primary, lit("")), nullif(legacy, lit("")), nullif(loose, lit("")))
+          .cast("double").as("value"),
+        when(primary =!= "", 0.9).when(legacy =!= "", 0.6).otherwise(0.3).as("confidence"))
+      .orderBy("p_partkey")
+  }
+
+  val q40Sql: String =
+    """SELECT p_partkey,
+      |  CAST(COALESCE(NULLIF(regexp_extract(snippet, '<span class="price">([0-9.]+)</span>', 1), ''),
+      |                NULLIF(regexp_extract(snippet, '<td class="amount">([0-9.]+)</td>', 1), ''),
+      |                NULLIF(regexp_extract(snippet, 'price is ([0-9.]+)', 1), '')) AS DOUBLE) AS value,
+      |  CASE WHEN regexp_extract(snippet, '<span class="price">([0-9.]+)</span>', 1) <> '' THEN 0.9
+      |       WHEN regexp_extract(snippet, '<td class="amount">([0-9.]+)</td>', 1) <> '' THEN 0.6
+      |       ELSE 0.3 END AS confidence
+      |FROM (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 3 = 0 THEN '<span class="price">' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) || '</span>'
+      |         WHEN p_partkey % 3 = 1 THEN '<td class="amount">' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) || '</td>'
+      |         ELSE 'price is ' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) || ' usd' END AS snippet
+      |  FROM part)
+      |ORDER BY p_partkey""".stripMargin
 }
