@@ -58,11 +58,35 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   val frontier = new SnapshotTable(spark, s"${cfg.tableRoot}/frontier")
   val fetchlog = new SnapshotTable(spark, s"${cfg.tableRoot}/fetchlog")
   val images = new SnapshotTable(spark, s"${cfg.tableRoot}/images")
+  val bloomidx = new SnapshotTable(spark, s"${cfg.tableRoot}/bloomidx")
 
   private val robotsDf = robotsRules.toDF()
   private var pol: Politeness = cfg.politeness
+  // standing Bloom index, maintained incrementally per run — O(batch)
+  // per micro-run instead of rebuilding over the whole seen history
+  private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
 
   def currentDelayMs: Double = pol.clampedDelay
+
+  /** Load (or recover) the standing Bloom blocks. The persisted blocks
+    * carry the fetchlog snapshot they cover; a mismatch (crash between
+    * the fetchlog and bloomidx commits, or a fresh engine on an old
+    * root) forces a full rebuild from the seen table — a stale index
+    * would mark recently-seen URLs "definitely new" and refetch them. */
+  private def loadBloomBlocks(seen: DataFrame): Map[Int, Array[Byte]] =
+    bloomBlocks.getOrElse {
+      val logSnap = fetchlog.latestSnapshot.getOrElse(0L)
+      val fromTable = bloomidx.read().flatMap { df =>
+        val rows = df.filter(col("fetchlog_snapshot") === logSnap)
+          .select("bucket", "bloom").collect()
+        if (rows.isEmpty) None
+        else Some(rows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
+      }
+      val blocks = fromTable.getOrElse(
+        BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, cfg.bloomBuckets)))
+      bloomBlocks = Some(blocks)
+      blocks
+    }
 
   /** Seed the frontier (run 0 commit). Seed i gets seq = i+1, depth 0. */
   def seed(urls: Seq[String]): Unit = {
@@ -84,11 +108,10 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     seenKeys match {
       case None => f
       case Some(seen) =>
-        val idx =
-          if (cfg.useBloom)
-            Some(BloomDedup.buildIndex(seen, cfg.bloomBuckets))
-          else None
-        BloomDedup.dedup(f, seen, idx, cfg.bloomBuckets)
+        if (cfg.useBloom)
+          BloomDedup.dedupWithBlocks(f, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
+        else
+          BloomDedup.dedup(f, seen, None, cfg.bloomBuckets)
     }
   }
 
@@ -123,8 +146,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
     val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nOk = results.filter(col("status") === 200).count()
-    val nFail = results.filter(col("status") =!= 200).count()
+    // one aggregate pass for the fetch outcome counters (A1-style metrics)
+    val outcome = results.agg(
+      coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).collect().head
+    val nOk = outcome.getLong(0)
+    val nFail = outcome.getLong(1) - nOk
 
     // ---- Catalyst parse stage: images (F7) ----------------------------
     val ok = results.filter(col("status") === 200)
@@ -202,6 +229,21 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
     fetchlog.commit(results.drop("body").withColumn("run", lit(runId)),
       baseMetrics, Some("seq"))
+    // incremental Bloom maintenance: hash only THIS run's urls into fresh
+    // blocks and merge into the standing index (O(batch), not O(history));
+    // persist with the covered fetchlog snapshot for resume validation
+    if (cfg.useBloom) {
+      val runBlocks = BloomDedup.collectBlocks(
+        BloomDedup.buildIndex(results.select("url_hash"), cfg.bloomBuckets))
+      val merged = BloomDedup.mergeBlocks(
+        bloomBlocks.getOrElse(Map.empty), runBlocks)
+      bloomBlocks = Some(merged)
+      import spark.implicits._
+      bloomidx.commit(
+        merged.toSeq.map { case (b, bytes) => (b, bytes, runId) }
+          .toDF("bucket", "bloom", "fetchlog_snapshot"),
+        Map("covers_fetchlog_snapshot" -> runId.toDouble), None)
+    }
     if (nNewImages > 0) images.commit(imageRows, baseMetrics, None)
     if (nNewCand > 0)
       frontier.commit(

@@ -14,14 +14,13 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   * [[Aggregator]] over `spark-sketch`'s BloomFilter. Dedup of a candidate
   * batch is then:
   *
-  *   1. join candidates to their bucket's block (broadcast when small —
-  *      AQE decides; `repartitionByBucket` forces co-location for huge
-  *      indexes where each partition should touch one block),
-  *   2. the block-merge `mapPartitions` (one of the two permitted
-  *      non-Catalyst stages) tests `mightContain(url_hash)`, deserializing
-  *      each distinct block once per partition,
-  *   3. "might contain" survivors — fpp-small — go through the *exact*
-  *      `left_anti` join against the seen table; definite-new rows skip it.
+  *   1. broadcast the collected block map once per executor (the blocks
+  *      never flow through a join — see BloomMightContain),
+  *   2. test `bloom_might_contain(bucket, url_hash)` in a narrow
+  *      codegen'd projection, each block deserialized once per thread,
+  *   3. "might contain" survivors — fpp-small — probe the *exact* seen
+  *      set through a single-pass conditional `left_anti` join;
+  *      definite-new rows pass without touching it.
   *
   * The stored seen-set stays exact (Bloom is only a prefilter, SURVEY.md
   * §7.4), but at scale the expensive anti-join shuffle only carries
@@ -59,52 +58,83 @@ object BloomDedup {
       .agg(agg(col("url_hash")).as("bloom"))
   }
 
+  /** Collect an index DataFrame `(bucket, bloom)` to a driver-side map. */
+  def collectBlocks(idx: DataFrame): Map[Int, Array[Byte]] =
+    idx.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+
+  /** Merge two block maps (same numBuckets/expected → compatible bit
+    * arrays). The incremental-maintenance primitive: per micro-run, only
+    * the run's new hashes are hashed into fresh blocks and merged into
+    * the standing index — O(batch), not O(|seen| history)
+    * (BloomFilter.mergeInPlace; capacity overfill degrades fpp, never
+    * correctness — the exact anti-join stays behind the prefilter). */
+  def mergeBlocks(a: Map[Int, Array[Byte]], b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] = {
+    (a.keySet ++ b.keySet).map { bucket =>
+      (a.get(bucket), b.get(bucket)) match {
+        case (Some(x), None) => bucket -> x
+        case (None, Some(y)) => bucket -> y
+        case (Some(x), Some(y)) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
+          bf.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(y)))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bucket -> bos.toByteArray
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+  }
+
   /** Candidates NOT in the seen set. `candidates` must carry `url_hash`;
     * rows are returned with their original columns. */
   def dedup(candidates: DataFrame, seen: DataFrame, bloomIndex: Option[DataFrame],
-            numBuckets: Int = 64, repartitionByBucket: Boolean = false): DataFrame = {
-    val seenKeys = seen.select("url_hash").distinct()
+            numBuckets: Int = 64, repartitionByBucket: Boolean = false): DataFrame =
     bloomIndex match {
       case None =>
-        candidates.join(seenKeys, Seq("url_hash"), "left_anti")
+        candidates.join(seen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
       case Some(idx) =>
-        val outCols = candidates.columns
-        val spark = candidates.sparkSession
-        // per-build epoch: makes the executor-side block cache key unique
-        // across index rebuilds (see BloomMightContain scaladoc)
-        val epoch = new java.security.SecureRandom().nextLong()
-
-        // ship the serialized blocks once per executor via broadcast —
-        // measured: joining the binary blocks against candidates re-copies
-        // a block out of its UnsafeRow per candidate row, which costs more
-        // than the exact anti-join Bloom is meant to save. The broadcast
-        // regime holds while the index fits the driver (~64 MB per 50M
-        // seen at 1% fpp); past that, partition the seen table by
-        // hash-range on disk and dedup bucket-aligned slices (each slice's
-        // index small again) — see SnapshotTable bucketing notes.
-        val blocks: Map[Int, Array[Byte]] = idx.collect()
-          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-        val bc = spark.sparkContext.broadcast(blocks)
-
-        // optional bucket-alignment (hash-range locality for downstream
-        // bucket-partitioned sinks; the test itself no longer needs it)
-        val candIn =
-          if (repartitionByBucket)
-            candidates.repartition(pmod(col("url_hash"), lit(numBuckets)).cast("int"))
-          else candidates
-        val flagged = candIn.withColumn("__maybe",
-          graft.functions.BloomMightContain(epoch, bc,
-            pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
-
-        // single-pass conditional anti-join: a definite-new row
-        // (__maybe = false) can never satisfy the condition, so it
-        // survives without probing the seen side; only fpp·|candidates|
-        // + true duplicates hit the exact set. One scan of the candidate
-        // subtree (no union → no double compute).
-        val seenK = seenKeys.withColumnRenamed("url_hash", "__seen_hash")
-        flagged.join(seenK,
-            col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
-          .select(outCols.map(col): _*)
+        dedupWithBlocks(candidates, seen, collectBlocks(idx), numBuckets, repartitionByBucket)
     }
+
+  /** Same as [[dedup]] with a pre-collected block map (the engine keeps
+    * blocks incrementally maintained between micro-runs). */
+  def dedupWithBlocks(candidates: DataFrame, seen: DataFrame,
+                      blocks: Map[Int, Array[Byte]], numBuckets: Int,
+                      repartitionByBucket: Boolean = false): DataFrame = {
+    val seenKeys = seen.select("url_hash").distinct()
+    val outCols = candidates.columns
+    val spark = candidates.sparkSession
+    // per-build epoch: makes the executor-side block cache key unique
+    // across index rebuilds (see BloomMightContain scaladoc)
+    val epoch = new java.security.SecureRandom().nextLong()
+
+    // ship the serialized blocks once per executor via broadcast —
+    // measured: joining the binary blocks against candidates re-copies
+    // a block out of its UnsafeRow per candidate row, which costs more
+    // than the exact anti-join Bloom is meant to save. The broadcast
+    // regime holds while the index fits the driver (~64 MB per 50M
+    // seen at 1% fpp); past that, partition the seen table by
+    // hash-range on disk and dedup bucket-aligned slices (each slice's
+    // index small again) — see SnapshotTable bucketing notes.
+    val bc = spark.sparkContext.broadcast(blocks)
+
+    // optional bucket-alignment (hash-range locality for downstream
+    // bucket-partitioned sinks; the test itself no longer needs it)
+    val candIn =
+      if (repartitionByBucket)
+        candidates.repartition(pmod(col("url_hash"), lit(numBuckets)).cast("int"))
+      else candidates
+    val flagged = candIn.withColumn("__maybe",
+      graft.functions.BloomMightContain(epoch, bc,
+        pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
+
+    // single-pass conditional anti-join: a definite-new row
+    // (__maybe = false) can never satisfy the condition, so it
+    // survives without probing the seen side; only fpp·|candidates|
+    // + true duplicates hit the exact set. One scan of the candidate
+    // subtree (no union → no double compute).
+    val seenK = seenKeys.withColumnRenamed("url_hash", "__seen_hash")
+    flagged.join(seenK,
+        col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
+      .select(outCols.map(col): _*)
   }
 }

@@ -120,6 +120,20 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(e2.seenSet() == engine.seenSet())
   }
 
+  test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {
+    val root = Files.createTempDirectory("crawl-stalebloom").toString
+    val e1 = newEngine(root)
+    e1.seed(web.seeds)
+    assert(e1.runOnce().isDefined && e1.runOnce().isDefined)
+    // simulate the crash: drop the bloom index commit that covers run 2
+    val lastBloom = e1.bloomidx.latestSnapshot.get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, "bloomidx", "commits", f"v$lastBloom%06d.json"))
+    val e2 = newEngine(root) // must detect the mismatch and rebuild
+    e2.crawlAll()
+    assert(e2.seenSet() == engine.seenSet(), "stale-bloom resume diverged")
+  }
+
   test("resume from last committed snapshot equals uninterrupted run") {
     val spark = TestSpark.spark
     import spark.implicits._
