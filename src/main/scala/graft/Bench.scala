@@ -92,6 +92,28 @@ object Bench {
     nCand / secs
   }
 
+  /** End-to-end micro-run crawl over the synthetic web: frontier →
+    * dedup → schedule → fetch → parse → payload → snapshot commits,
+    * until drained. Reports total fetches/sec including ALL engine
+    * overhead (the honest end-to-end number; the per-stage benches above
+    * isolate the hot paths). */
+  def benchCrawlE2E(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
+                    budget: Int): (Double, Long) = {
+    import graft.crawl.{CrawlConfig, CrawlEngine}
+    import graft.fetch.SyntheticFetcher
+    import graft.frontier.Politeness
+    val webCfg = graft.web.WebConfig(nHosts = nHosts, pagesPerHost = pagesPerHost, hotFactor = 4)
+    val web = new graft.web.SyntheticWeb(webCfg)
+    val root = java.nio.file.Files.createTempDirectory("bench-crawl").toString
+    val engine = new CrawlEngine(spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = 4)),
+      new SyntheticFetcher(webCfg), web.robots)
+    engine.seed(web.seeds)
+    val (stats, secs) = timed(engine.crawlAll())
+    val fetched = stats.map(_.scheduled).sum
+    (fetched / secs, fetched)
+  }
+
   /** Deterministic image payload generation + phash. */
   def benchImages(spark: SparkSession, n: Long): Double = {
     import spark.implicits._
@@ -143,11 +165,14 @@ object Bench {
     val fetchRate = benchFetchParse(spark, 512L * 1024)
     val dedupRate = benchDedup(spark, 4L * 1024 * 1024, 2L * 1024 * 1024)
     val imageRate = benchImages(spark, 20000)
+    val (crawlRate, crawlN) = benchCrawlE2E(spark, nHosts = 16, pagesPerHost = 100, budget = 200)
 
     val entries = queryTimes ++ Seq(
       "crawl_fetch_parse_urls_per_sec" -> fetchRate,
       "frontier_dedup_urls_per_sec" -> dedupRate,
-      "image_payload_per_sec" -> imageRate)
+      "image_payload_per_sec" -> imageRate,
+      "crawl_e2e_urls_per_sec" -> crawlRate,
+      "crawl_e2e_n_urls" -> crawlN.toDouble)
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum

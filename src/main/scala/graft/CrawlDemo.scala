@@ -16,6 +16,8 @@ object CrawlDemo {
     val nHosts = args.lift(0).map(_.toInt).getOrElse(8)
     val pages = args.lift(1).map(_.toInt).getOrElse(12)
     val cores = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val budget = args.lift(3).map(_.toInt).getOrElse(16)
+    val salts = args.lift(4).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-crawl-demo")
@@ -29,7 +31,7 @@ object CrawlDemo {
     val web = new SyntheticWeb(webCfg)
     val root = java.nio.file.Files.createTempDirectory("crawl-demo").toString
     val engine = new CrawlEngine(spark,
-      CrawlConfig(root, Politeness(perHostBudget = 16)),
+      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = salts)),
       new SyntheticFetcher(webCfg), web.robots)
 
     engine.seed(web.seeds)

@@ -122,6 +122,15 @@ object ScalingBench {
          |conditional anti-join (steady-state index, built outside the timed
          |window); image = deterministic codec encode + decode + 64-bit phash.
          |
+         |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 32 1000 4`:
+         |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
+         |hostSalts 4, local[32]): 34,999 fetches, 34,058 distinct URLs,
+         |47,262 stored image payloads in 173 s ≈ 202 urls/s INCLUDING
+         |frontier dedup, politeness planning, payload encode+phash and
+         |4 snapshot commits per micro-run. Per-micro-run fixed cost
+         |(~10 Spark jobs) dominates at toy batch sizes and amortizes with
+         |batch size — the per-stage tables above bound the asymptote.
+         |
          |Why 8→32 flattens HERE and why it would not on a cluster: a raw
          |JVM control (32 plain threads doing the image codec loop, no Spark)
          |scales at 0.93 efficiency 8→32 on this box, so the flattening is

@@ -228,7 +228,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "delay_ms" -> pol.clampedDelay)
 
     fetchlog.commit(results.drop("body").withColumn("run", lit(runId)),
-      baseMetrics, Some("seq"))
+      baseMetrics, Some("seq"),
+      coalesceTo = (nScheduled / 50000 + 1).toInt)
     // incremental Bloom maintenance: hash only THIS run's urls into fresh
     // blocks and merge into the standing index (O(batch), not O(history));
     // persist with the covered fetchlog snapshot for resume validation
@@ -242,13 +243,15 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       bloomidx.commit(
         merged.toSeq.map { case (b, bytes) => (b, bytes, runId) }
           .toDF("bucket", "bloom", "fetchlog_snapshot"),
-        Map("covers_fetchlog_snapshot" -> runId.toDouble), None)
+        Map("covers_fetchlog_snapshot" -> runId.toDouble), None, coalesceTo = 1)
     }
-    if (nNewImages > 0) images.commit(imageRows, baseMetrics, None)
+    if (nNewImages > 0)
+      images.commit(imageRows, baseMetrics, None,
+        coalesceTo = (nNewImages / 5000 + 1).toInt)
     if (nNewCand > 0)
       frontier.commit(
         newCandidates.select("url", "url_hash", "host", "path", "priority", "depth", "seq"),
-        baseMetrics, Some("seq"))
+        baseMetrics, Some("seq"), coalesceTo = (nNewCand / 100000 + 1).toInt)
 
     // ---- adaptive controller (R2) -------------------------------------
     val successRate = if (nScheduled == 0) 1.0 else nOk.toDouble / nScheduled

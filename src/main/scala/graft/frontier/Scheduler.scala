@@ -53,7 +53,10 @@ object Scheduler {
       .drop("disallow")
 
     val w = Window.partitionBy(col("host")).orderBy(desc("priority"), asc("seq"))
-    val delay = lit(pol.clampedDelay)
+    // hostSalts > 1 splits a host's requests across that many concurrent
+    // fetch partitions; spacing each stream by salts× the base delay
+    // keeps the host's AGGREGATE request rate at the politeness target
+    val delay = lit(pol.clampedDelay * math.max(1, pol.hostSalts))
     allowed
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= pol.perHostBudget)

@@ -58,13 +58,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Append `df` as a new snapshot; returns the snapshot id.
     * Computes per-output-partition lineage (row count + seq range when a
-    * `seqCol` is present) from the written files themselves. */
-  def commit(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None): Long = {
+    * `seqCol` is present) from the written files themselves.
+    * `coalesceTo > 0` caps the number of data files — micro-run commits
+    * are often tiny and writing one file per upstream shuffle partition
+    * multiplies task-launch and footer overhead across every later read. */
+  def commit(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
+             coalesceTo: Int = 0): Long = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
+    val toWrite = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     // "overwrite": a dir at this id can only be a crashed run's orphan
     // (no manifest references it — see class doc), so reclaiming it is safe
-    df.write.mode("overwrite").parquet(out.toString)
+    toWrite.write.mode("overwrite").parquet(out.toString)
 
     // lineage from the committed files (one row per data file)
     val written = spark.read.parquet(out.toString)

@@ -112,6 +112,24 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(maxAttempt >= 2, "no retry ever happened — failPct too low to exercise R6")
   }
 
+  test("host-salted fetch (hostSalts=4, hot-host skew split) produces identical state") {
+    val root = Files.createTempDirectory("crawl-salted").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = 4),
+        maxRetries, useBloom = true, bloomBuckets = 8),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    e.crawlAll()
+    assert(e.seenSet() == engine.seenSet(), "salting changed the seen set")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val imgs = e.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    val ref = engine.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    assert(imgs == ref, "salting changed the payload table")
+  }
+
   test("bloom and exact-only dedup paths produce identical state") {
     val root2 = Files.createTempDirectory("crawl-nobloom").toString
     val e2 = newEngine(root2, useBloom = false)
