@@ -57,6 +57,8 @@ object SparkEntry {
     "q38_json_parse"          -> (Extras.q38JsonParse _),
     "q39_date_range"          -> (Extras.q39DateRange _),
     "q40_fallback_extract"    -> (Extras.q40FallbackExtract _),
+    "q41_embedding_neardup"   -> (TrainingData.q41EmbeddingNeardup _),
+    "q42_embedding_lsh"       -> (TrainingData.q42EmbeddingLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +103,8 @@ object SparkEntry {
     "q38_json_parse"      -> Extras.q38Sql,
     "q39_date_range"      -> Extras.q39Sql,
     "q40_fallback_extract" -> Extras.q40Sql,
+    "q41_embedding_neardup" -> TrainingData.q41Sql,
+    // q42 (hyperplane LSH) is not SQL-expressible → rows-only check;
+    // recall vs the exact q41 pairs is pinned in TrainingDataSpec.
   )
 }

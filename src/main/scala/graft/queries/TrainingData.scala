@@ -211,6 +211,90 @@ object TrainingData {
       .orderBy("cent_id", "rk")
   }
 
+  /** Embedding corpus with planted near-duplicate vectors: vec_id+100000
+    * carries the same embedding perturbed per-component by ±1% (a
+    * deterministic, SQL-replicable formula) — the base corpus is
+    * near-orthogonal (max pairwise cosine 0.47), so the near-dup family
+    * needs real signal, like the text corpus does. */
+  private def embeddingsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsD(spark, dir).select(col("vec_id"), col("label"), col("emb"))
+    val planted = base.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("transform(emb, (x, i) -> x * (1.0D + 0.005D * (cast((vec_id + i) % 5 as double) - 2.0D)))")
+          .as("emb"))
+    base.unionByName(planted)
+  }
+
+  /** Embedding-cosine near-duplicate pairs — exact all-pairs above a
+    * threshold (the SQL-checkable baseline; blocked by label to keep the
+    * self-join honest about its pruning strategy). */
+  def q41EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNearDups(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(
+          """aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (a, v) -> a + v) /
+            |(sqrt(aggregate(emb_a, 0D, (a, v) -> a + v * v)) *
+            | sqrt(aggregate(emb_b, 0D, (a, v) -> a + v * v)))""".stripMargin), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q41Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |planted AS (
+      |  SELECT vec_id + 100000 AS vec_id, label,
+      |    list_transform(emb, (x, i) ->
+      |      x * (1.0 + 0.005 * (CAST((vec_id + i - 1) % 5 AS DOUBLE) - 2.0))) AS emb
+      |  FROM base WHERE vec_id % 11 = 0),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      |  FROM corpus a JOIN corpus b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH (Charikar
+    * '02) — a 16-bit sign signature from seeded hyperplanes (hyperplane
+    * components derived from xxhash64, no RNG state), bucket-join on
+    * (band, chunk), exact cosine on the candidates only. Candidate
+    * generation is O(collisions), not O(n²); recall vs the exact q41
+    * pairs is pinned in TrainingDataSpec. */
+  def q42EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNearDups(spark, dir)
+    // hyperplane h ∈ [0,16), component j: centered hash in [-0.5, 0.5)
+    val signed = e.withColumn("sig", expr(
+      """aggregate(sequence(0, 15), 0L, (acc, h) -> shiftleft(acc, 1) +
+        |  if(aggregate(zip_with(emb, sequence(0, size(emb) - 1),
+        |       (x, j) -> x * (cast(shiftrightunsigned(xxhash64(h, j), 11) as double)
+        |                      / 9007199254740992.0 - 0.5)),
+        |     0D, (a, v) -> a + v) >= 0D, 1L, 0L))""".stripMargin))
+      .select(col("vec_id"), col("emb"), col("sig"))
+    // 4 bands × 4 bits
+    val bands = signed.select(col("vec_id"), col("emb"), col("sig"),
+        explode(expr(
+          "transform(sequence(0,3), b -> struct(b as band, shiftright(sig, b*4) & 15L as chunk))"))
+          .as("bb"))
+      .select(col("vec_id"), col("emb"), col("bb.band"), col("bb.chunk"))
+    val a = bands.select(col("band"), col("chunk"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = bands.select(col("band"), col("chunk"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b")).distinct()
+      .select(col("vec_a"), col("vec_b"),
+        round(expr(
+          """aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (a, v) -> a + v) /
+            |(sqrt(aggregate(emb_a, 0D, (a, v) -> a + v * v)) *
+            | sqrt(aggregate(emb_b, 0D, (a, v) -> a + v * v)))""".stripMargin), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Language-ID heuristic: function-word ratios per language family

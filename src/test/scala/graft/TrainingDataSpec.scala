@@ -90,6 +90,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got == exp, s"got=$got exp=$exp")
   }
 
+  test("hyperplane-LSH near-dup candidates recall the exact cosine pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val exact = SparkEntry.queries("q41_embedding_neardup")(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q42_embedding_lsh")(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // LSH output is a subset of exact pairs (same final cosine filter)...
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${(lsh -- exact).take(3)}")
+    // ...and recalls most of them (4x4-bit bands on cos>=0.95 pairs)
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh).toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall < 0.8 over ${exact.size} pairs")
+    }
+  }
+
   test("multimodal feature pass is deterministic and decodes real payloads") {
     val spark = TestSpark.spark
     import spark.implicits._
