@@ -141,17 +141,22 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
     val scheduled = Scheduler.schedule(pending, robotsDf, pol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nScheduled = scheduled.count()
-    if (nScheduled == 0) { scheduled.unpersist(); return None }
+    if (scheduled.isEmpty) { scheduled.unpersist(); return None }
 
+    // A1 progress metrics ride the fetch pass itself via Dataset.observe
+    // (fpds_high_performance.py:292-313 `_update_progress` analogue) —
+    // no separate counting job over the results
+    val obs = new org.apache.spark.sql.Observation(s"fetch-${System.nanoTime()}")
     val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
+      .observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one aggregate pass for the fetch outcome counters (A1-style metrics)
-    val outcome = results.agg(
-      coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)),
-      count(lit(1))).collect().head
-    val nOk = outcome.getLong(0)
-    val nFail = outcome.getLong(1) - nOk
+    results.count() // materializes the cache once; completes the observation
+    val observed = obs.get
+    val nScheduled = observed("n").asInstanceOf[Long]
+    val nOk = observed("ok").asInstanceOf[Long]
+    val nFail = nScheduled - nOk
 
     // ---- Catalyst parse stage: images (F7) ----------------------------
     val ok = results.filter(col("status") === 200)
