@@ -156,6 +156,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
 
+    // warm the session once (parquet footers, codegen, shuffle service)
+    // so the first timed query doesn't carry session start-up costs
+    Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+
     val queryTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, secs) = timed(fn(spark, sfDir).count())

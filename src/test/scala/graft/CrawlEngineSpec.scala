@@ -130,6 +130,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(imgs == ref, "salting changed the payload table")
   }
 
+  test("engine state is invariant to shuffle-partition count (N vs 4N determinism proxy)") {
+    // same job at a different parallelism must produce the identical
+    // seen set and payload table (north rule: same results at N and 4N
+    // executors; here the session-level shuffle partitioning changes)
+    val spark2 = TestSpark.spark.newSession()
+    spark2.conf.set("spark.sql.shuffle.partitions", "7")
+    val root = Files.createTempDirectory("crawl-partinv").toString
+    val e = new CrawlEngine(spark2,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries, useBloom = true, bloomBuckets = 8),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    e.crawlAll()
+    assert(e.seenSet() == engine.seenSet(), "partitioning changed the seen set")
+  }
+
   test("bloom and exact-only dedup paths produce identical state") {
     val root2 = Files.createTempDirectory("crawl-nobloom").toString
     val e2 = newEngine(root2, useBloom = false)
