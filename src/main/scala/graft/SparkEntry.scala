@@ -59,6 +59,7 @@ object SparkEntry {
     "q40_fallback_extract"    -> (Extras.q40FallbackExtract _),
     "q41_embedding_neardup"   -> (TrainingData.q41EmbeddingNeardup _),
     "q42_embedding_lsh"       -> (TrainingData.q42EmbeddingLsh _),
+    "q43_winnow_fingerprints" -> (TrainingData.q43WinnowFingerprints _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

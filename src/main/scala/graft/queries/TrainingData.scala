@@ -384,6 +384,38 @@ object TrainingData {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    * hash every k-char-gram (the rolling-hash family — xxhash64 per gram
+    * keeps the pipeline codegen'd), then keep the minimum hash of each
+    * window of w consecutive gram hashes; the distinct minima are the
+    * document's fingerprints. Shared fingerprints localize overlap even
+    * between partially-copied documents. */
+  def q43WinnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8 // gram length (chars)
+    val w = 16 // winnow window (grams)
+    // NOTE the let-binding idiom `transform(array(X), x -> body)`: without
+    // it, CollapseProject inlines the upstream expression into every use
+    // inside the window transform — the whole-text regexp_replace then
+    // re-evaluates per (window × gram), turning O(n) into O(n²·regex)
+    // (measured as a hang). Binding via a 1-element array evaluates each
+    // stage exactly once per row.
+    val fpsExpr = expr(
+      s"""flatten(transform(
+         |  array(regexp_replace(lower(text), '\\\\s+', ' ')), nrm ->
+         |    flatten(transform(
+         |      array(transform(sequence(0, greatest(length(nrm) - $k, 0)),
+         |                      i -> xxhash64(substring(nrm, i + 1, $k)))), gs ->
+         |        array_distinct(transform(
+         |          sequence(0, greatest(size(gs) - $w, 0)),
+         |          i -> array_min(slice(gs, i + 1, $w))))))))""".stripMargin)
+    docs(spark, dir)
+      .select(col("doc_id"), fpsExpr.as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        posexplode(col("fps")).as(Seq("pos", "fingerprint")))
+      .select("doc_id", "n_fingerprints", "pos", "fingerprint")
+      .orderBy("doc_id", "pos")
+  }
+
   // ------------------------------------------------- streaming / windows
 
   /** Tumbling event-time window aggregation (the batch equivalent of the

@@ -106,6 +106,26 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints: deterministic, and copied substrings share fingerprints") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fps = SparkEntry.queries("q43_winnow_fingerprints")(spark, dir)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps.nonEmpty)
+    // winnowing guarantee: every w-gram window is covered by >=1 fingerprint
+    fps.values.foreach(s => assert(s.nonEmpty))
+    // near-dup docs (doc % 7 planted pairs exist only in the minhash query;
+    // here use raw docs): a doc always shares all fingerprints with itself
+    // and essentially none with an unrelated doc
+    val ids = fps.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val inter = fps(a).intersect(fps(b)).size.toDouble
+      val overlap = inter / math.min(fps(a).size, fps(b).size)
+      assert(overlap < 0.5, s"unrelated docs $a,$b overlap $overlap")
+    }
+  }
+
   test("multimodal feature pass is deterministic and decodes real payloads") {
     val spark = TestSpark.spark
     import spark.implicits._
