@@ -57,8 +57,10 @@ final case class ScheduledRow(
   * (north rule; SURVEY.md §2.1 S1/S3/S5).
   *
   * Requests are repartitioned by `(host, salt)` — `hostSalts > 1` splits a
-  * hot host across partitions (explicit skew handling; the budget/delay
-  * were already divided by the scheduler) — and sorted by planned offset,
+  * hot host across partitions (explicit skew handling; the scheduler
+  * scaled only the per-stream delay by `salts`, keeping the host's
+  * aggregate rate — the per-host budget was applied whole, pre-salt) —
+  * and sorted by planned offset,
   * so each partition replays its hosts' schedules in order. A per-host
   * token bucket inside the partition enforces the minimum interval in
   * real-time mode; in virtual-time mode (tests/bench) the planned offsets

@@ -23,6 +23,13 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   private var count: Long = 0L
   def size: Long = count
 
+  // One-slot victim stash (Fan et al. §4): holds the fingerprint displaced
+  // when an eviction chain exhausts MaxKicks, so an already-inserted key
+  // never silently loses membership (no-false-negative contract). While
+  // occupied, inserts that cannot place without eviction fail cleanly.
+  private var stashFp: Short = 0
+  private var stashBucket: Int = -1
+
   private def fingerprint(key: Long): Short = {
     val f = (UrlKit.xxhash64(s"cf:$key") & 0xFFFF).toInt
     (if (f == 0) 1 else f).toShort // 0 = empty slot marker
@@ -46,12 +53,16 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     false
   }
 
-  /** Insert; false when the filter is full (eviction chain exhausted). */
+  /** Insert; false when the filter is full (both buckets full and the
+    * victim stash is already occupied). On eviction-chain exhaustion the
+    * displaced fingerprint goes to the stash — the table is never left in
+    * a state where a previously-inserted key is absent. */
   def insert(key: Long): Boolean = {
     var fp = fingerprint(key)
     val i1 = bucketOf(key)
     val i2 = altBucket(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) { count += 1; return true }
+    if (stashBucket >= 0) return false // stash occupied: refuse, table unchanged
     // evict: bounded random-walk (deterministic: seeded by key)
     var bucket = if ((UrlKit.xxhash64(s"ce:$key") & 1L) == 0L) i1 else i2
     var n = 0
@@ -60,9 +71,17 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
       val victim = math.floorMod(UrlKit.xxhash64(s"cv:$key:$n"), SlotsPerBucket.toLong).toInt
       val tmp = table(base + victim)
       table(base + victim) = fp
+      val prevBucket = bucket
       fp = tmp
       bucket = altBucket(bucket, fp)
       if (tryInsertAt(bucket, fp)) { count += 1; return true }
+      if (n == MaxKicks - 1) {
+        // chain exhausted: park the last displaced fingerprint in the stash
+        // (its home pair is {prevBucket, bucket}; record one of them)
+        stashFp = fp; stashBucket = prevBucket
+        count += 1
+        return true
+      }
       n += 1
     }
     false
@@ -72,7 +91,8 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     val fp = fingerprint(key)
     val i1 = bucketOf(key)
     val i2 = altBucket(i1, fp)
-    containsAt(i1, fp) || containsAt(i2, fp)
+    containsAt(i1, fp) || containsAt(i2, fp) ||
+      (stashBucket >= 0 && fp == stashFp && (i1 == stashBucket || i2 == stashBucket))
   }
 
   private def containsAt(bucket: Int, fp: Short): Boolean = {
@@ -92,6 +112,9 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     if (deleteAt(i1, fp)) { count -= 1; return true }
     val i2 = altBucket(i1, fp)
     if (deleteAt(i2, fp)) { count -= 1; return true }
+    if (stashBucket >= 0 && fp == stashFp && (i1 == stashBucket || i2 == stashBucket)) {
+      stashFp = 0; stashBucket = -1; count -= 1; return true
+    }
     false
   }
 
@@ -106,8 +129,11 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 2 + 4 + table.length * 2)
     bb.putInt(numBuckets)
+    bb.putLong(count)
+    bb.putShort(stashFp)
+    bb.putInt(stashBucket)
     table.foreach(bb.putShort)
     bb.array()
   }
@@ -127,9 +153,16 @@ object CuckooFilter {
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val buckets = bb.getInt
+    val n = bb.getLong
+    val sFp = bb.getShort
+    val sBucket = bb.getInt
     val table = new Array[Short](buckets * SlotsPerBucket)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort; i += 1 }
-    new CuckooFilter(buckets, table)
+    val cf = new CuckooFilter(buckets, table)
+    cf.count = n
+    cf.stashFp = sFp
+    cf.stashBucket = sBucket
+    cf
   }
 }

@@ -31,8 +31,9 @@ final case class Politeness(
   *      so N-core and 4N-core runs plan identical schedules.
   *
   * Scale notes: the window shuffles by host exactly once; hot hosts are
-  * split by `hostSalts` at fetch-repartition time (the budget and delay
-  * are divided across salts, keeping the per-host aggregate rate).
+  * split by `hostSalts` at fetch-repartition time. Only the per-stream
+  * delay is scaled (× salts) so the host's aggregate request rate is
+  * unchanged; the per-host budget is applied whole, before salting.
   */
 object Scheduler {
 

@@ -66,9 +66,15 @@ case class BloomMightContain(
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_might_contain"
 
-  override def eval(input: InternalRow): Any =
-    BloomRuntime.test(epoch, left.eval(input).asInstanceOf[Int],
-      right.eval(input).asInstanceOf[Long], blocks)
+  // Null semantics: a null bucket/hash means "definitely unseen" (false) —
+  // identically in the interpreted and generated paths (the expression
+  // itself stays nullable=false so the surrounding filter never re-checks).
+  override def eval(input: InternalRow): Any = {
+    val b = left.eval(input)
+    val h = right.eval(input)
+    if (b == null || h == null) false
+    else BloomRuntime.test(epoch, b.asInstanceOf[Int], h.asInstanceOf[Long], blocks)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bucketGen = left.genCode(ctx)
@@ -81,8 +87,9 @@ case class BloomMightContain(
       code = code"""
         ${bucketGen.code}
         ${hashGen.code}
-        final boolean ${ev.value} = graft.functions.BloomRuntime.test(
-          $epochRef.longValue(), ${bucketGen.value}, ${hashGen.value}, $bcRef);
+        final boolean ${ev.value} = !(${bucketGen.isNull} || ${hashGen.isNull}) &&
+          graft.functions.BloomRuntime.test(
+            $epochRef.longValue(), ${bucketGen.value}, ${hashGen.value}, $bcRef);
       """,
       isNull = FalseLiteral)
   }

@@ -310,7 +310,7 @@ object Relational {
   /** F3: pagination-total parse — "Results 1-30 of <b>N</b>" → N
     * (fpds_enhanced_extractor.py:177-202 semantics), round-tripped. */
   def q15RegexExtract(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").limit(1000)
+    val o = Tables.load(spark, dir, "orders").orderBy("o_orderkey").limit(1000)
     o.select(
         col("o_orderkey"),
         concat(lit("Results 1-30 of <b>"), col("o_orderkey").cast("string"), lit("</b> shown")).as("heading"))

@@ -27,10 +27,8 @@ object TrainingData {
   /** Exact dedup: hash-groupBy on a content key, keep min doc_id
     * (first-writer-wins, the crawl engine's image dedup rule). */
   def q22DedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    docs(spark, dir)
       .withColumn("content_key", md5(concat_ws("|", col("lang"), col("source"))))
-    val w = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
-    d.withColumn("rn", row_number().over(w))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("kept_doc"), (count(lit(1)) - 1).as("n_dropped"))
       .orderBy("content_key")

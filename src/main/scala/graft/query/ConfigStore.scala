@@ -91,10 +91,13 @@ class ConfigStore(root: String) {
 
   def listNames(): Seq[String] = {
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSeq.sorted
+    val stream = Files.list(dir)
+    try {
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toSeq.sorted
+    } finally stream.close()
   }
 
   /** P7: list with optional domain/tag filters, newest first

@@ -39,9 +39,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Ids of committed snapshots, ascending. */
   def snapshots: Seq[Long] = {
     if (!Files.isDirectory(commitsDir)) return Seq.empty
-    Files.list(commitsDir).iterator().asScala
-      .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-      .toSeq.sorted
+    val stream = Files.list(commitsDir)
+    try {
+      stream.iterator().asScala
+        .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+        .toSeq.sorted
+    } finally stream.close()
   }
 
   def latestSnapshot: Option[Long] = snapshots.lastOption

@@ -22,12 +22,39 @@ class FilterSpec extends AnyFunSuite {
     assert(resurrected < 0.05, s"too many deleted keys still present: $resurrected")
   }
 
-  test("cuckoo: serialize/deserialize preserves membership") {
+  test("cuckoo: serialize/deserialize preserves membership AND count") {
     val cf = CuckooFilter.create(1000)
     val keys = (1L to 500L).map(k => k * 7919)
     keys.foreach(cf.insert)
     val back = CuckooFilter.deserialize(cf.serialize())
     keys.foreach(k => assert(back.mightContain(k)))
+    assert(back.size == cf.size, "round-trip dropped count")
+    assert(back.delete(keys.head))
+    assert(back.size == cf.size - 1, "delete after round-trip miscounts")
+  }
+
+  test("cuckoo: no false negatives at high load (eviction-chain exhaustion path)") {
+    // Tiny filter driven far past its comfortable load factor: every insert
+    // that REPORTS success must remain a member — including keys displaced
+    // into the victim stash when an eviction chain exhausts MaxKicks.
+    val cf = CuckooFilter.create(256)
+    val rnd = new scala.util.Random(42)
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rejected = 0
+    var k = 0
+    while (k < 2000) {
+      val key = rnd.nextLong()
+      if (cf.insert(key)) inserted += key else rejected += 1
+      k += 1
+    }
+    assert(rejected > 0, "load never saturated the filter; test is vacuous")
+    inserted.foreach { key =>
+      assert(cf.mightContain(key), s"false negative for accepted key $key")
+    }
+    // membership (incl. stash) survives serialization
+    val back = CuckooFilter.deserialize(cf.serialize())
+    inserted.foreach(key => assert(back.mightContain(key), "round-trip lost a key"))
+    assert(back.size == cf.size)
   }
 
   test("bloom dedup equals exact anti-join") {
