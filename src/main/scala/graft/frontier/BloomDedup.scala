@@ -62,6 +62,72 @@ object BloomDedup {
   def collectBlocks(idx: DataFrame): Map[Int, Array[Byte]] =
     idx.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
 
+  /** Aggregator merging serialized same-parameter Bloom blocks — the
+    * DISTRIBUTED index-maintenance primitive: per-run blocks append to the
+    * index table and merge per bucket in a Spark job, so the full index
+    * never has to fit (or even pass through) the driver. Typical group
+    * size is 2 (standing block + run delta), so the de/re-serialize per
+    * reduce is one round-trip per bucket, not per row. */
+  class BloomMergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def des(b: Array[Byte]) = BloomFilter.readFrom(new ByteArrayInputStream(b))
+    private def ser(f: BloomFilter) = {
+      val o = new ByteArrayOutputStream(); f.writeTo(o); o.toByteArray
+    }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) in
+      else if (in.isEmpty) buf
+      else { val f = des(buf); f.mergeInPlace(des(in)); ser(f) }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = reduce(a, b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder = Encoders.BINARY
+    override def outputEncoder = Encoders.BINARY
+  }
+
+  /** Merge an index table that may hold several block rows per bucket
+    * (e.g. one appended per micro-run) into one block per bucket. */
+  def mergeIndex(idxRows: DataFrame): DataFrame = {
+    val agg = udaf(new BloomMergeAgg)
+    idxRows.groupBy("bucket").agg(agg(col("bloom")).as("bloom"))
+  }
+
+  /** Dedup beyond the driver-broadcast regime (NOTES.md r01 #1): process
+    * candidates in `numSlices` hash-range slices. Slice `s` covers buckets
+    * `{b : b % numSlices == s}`; only that slice's blocks are collected and
+    * broadcast at a time, so peak driver/executor memory for the index is
+    * `|index| / numSlices` — a 10^10-key seen set (~12 GB of blocks at 1%
+    * fpp) dedups with a per-slice budget of 12 GB / numSlices. The exact
+    * probe side is restricted to the slice's hash range too, which prunes
+    * to the matching partitions when the seen table is bucket-partitioned
+    * on disk.
+    *
+    * Each slice is driven as its OWN action via `each` (results must be
+    * consumed — written or counted — before the next slice starts), and
+    * its broadcast is destroyed afterwards; returning one lazily-unioned
+    * DataFrame would pin every slice's broadcast simultaneously and
+    * silently reintroduce the full-index memory bound.
+    *
+    * `idxRows` may carry multiple block rows per bucket (per-run appends);
+    * each slice merges its own buckets distributively before collecting.
+    */
+  def dedupSliced(candidates: DataFrame, seen: DataFrame, idxRows: DataFrame,
+                  numBuckets: Int, numSlices: Int)(each: (Int, DataFrame) => Unit): Unit = {
+    require(numSlices >= 1 && numBuckets % numSlices == 0,
+      s"numSlices $numSlices must divide numBuckets $numBuckets")
+    val bucketOf = (df: DataFrame) => pmod(col("url_hash"), lit(numBuckets)).cast("int")
+    var s = 0
+    while (s < numSlices) {
+      val sliceIdx = mergeIndex(idxRows.filter(pmod(col("bucket"), lit(numSlices)) === s))
+      val blocks = collectBlocks(sliceIdx)
+      val candS = candidates.filter(pmod(bucketOf(candidates), lit(numSlices)) === s)
+      val seenS = seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
+      val (out, bc) = dedupCore(candS, seenS, blocks, numBuckets)
+      try each(s, out)
+      finally bc.destroy()
+      s += 1
+    }
+  }
+
   /** Merge two block maps (same numBuckets/expected → compatible bit
     * arrays). The incremental-maintenance primitive: per micro-run, only
     * the run's new hashes are hashed into fresh blocks and merged into
@@ -99,7 +165,15 @@ object BloomDedup {
     * blocks incrementally maintained between micro-runs). */
   def dedupWithBlocks(candidates: DataFrame, seen: DataFrame,
                       blocks: Map[Int, Array[Byte]], numBuckets: Int,
-                      repartitionByBucket: Boolean = false): DataFrame = {
+                      repartitionByBucket: Boolean = false): DataFrame =
+    dedupCore(candidates, seen, blocks, numBuckets, repartitionByBucket)._1
+
+  /** [[dedupWithBlocks]] plus the broadcast handle, so slice-wise callers
+    * can destroy each slice's blocks once its action completes. */
+  private def dedupCore(candidates: DataFrame, seen: DataFrame,
+                        blocks: Map[Int, Array[Byte]], numBuckets: Int,
+                        repartitionByBucket: Boolean = false)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]) = {
     val seenKeys = seen.select("url_hash").distinct()
     val outCols = candidates.columns
     val spark = candidates.sparkSession
@@ -133,8 +207,9 @@ object BloomDedup {
     // + true duplicates hit the exact set. One scan of the candidate
     // subtree (no union → no double compute).
     val seenK = seenKeys.withColumnRenamed("url_hash", "__seen_hash")
-    flagged.join(seenK,
+    val out = flagged.join(seenK,
         col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
       .select(outCols.map(col): _*)
+    (out, bc)
   }
 }

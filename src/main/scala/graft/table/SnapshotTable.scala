@@ -5,36 +5,54 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Snapshot-committed Parquet table: the offline stand-in for an Iceberg
   * table (SURVEY.md §7.4 — no Iceberg jar ships in /opt/spark/jars).
   *
   * Layout:
   * {{{
-  *   <root>/data/commit-<N>/part-*.parquet   // one dir of data files per commit
-  *   <root>/commits/v<N>.json                // manifest (atomic rename)
+  *   <root>/data/commit-<N>/part-*.parquet     // data files per commit
+  *   <root>/deletes/commit-<N>/part-*.parquet  // equality-delete keys (optional)
+  *   <root>/commits/v<N>.json                  // manifest (atomic rename)
   * }}}
   *
-  * Commit protocol: data files are fully written first, then the manifest
-  * is staged to `commits/.tmp-v<N>.json` and atomically renamed to
-  * `v<N>.json`. A crash between the two leaves an orphan data dir that no
+  * Commit protocol: data (and delete) files are fully written first, then
+  * the manifest is staged to `commits/.tmp-v<N>.json` and atomically renamed
+  * to `v<N>.json`. A crash between the two leaves orphan data dirs that no
   * manifest references — readers only union data dirs of committed
-  * manifests, so reads are snapshot-isolated and resume is
-  * "read the last committed snapshot" (north rule: resumable from
-  * checkpoint). Each manifest carries per-partition lineage rows plus the
-  * run's metrics (north rule: per-partition lineage + metrics per commit).
+  * manifests, so reads are snapshot-isolated and resume is "read the last
+  * committed snapshot" (north rule: resumable from checkpoint). Each
+  * manifest carries per-partition lineage rows plus the run's metrics
+  * (north rule: per-partition lineage + metrics per commit), computed from
+  * the written files' parquet FOOTERS on the driver — a metadata-only read,
+  * no Spark job per commit (real Iceberg records the same stats in its
+  * manifests the same way).
   *
-  * All tables in the engine are append-only (seen-set, frontier log,
-  * retry log, image payloads), which keeps the emulation exact: a
-  * snapshot IS the set of commits `<= N`.
+  * Three commit kinds (Iceberg merge-on-read emulation):
+  *  - '''append''' — adds rows; a snapshot is the union of appends.
+  *  - '''delta''' — append + equality-delete keys in one manifest
+  *    (Iceberg v2 equality deletes). A delete key row removes every earlier
+  *    appended row matching it on ALL key columns. Callers must key deletes
+  *    so a deleted row is never re-appended under the same key (the crawl
+  *    engine keys pending rows by `(url_hash, attempt)`, which is appended
+  *    and deleted at most once each) — then global set semantics
+  *    (∪appends ∖ ∪deletes) equal the per-commit fold.
+  *  - '''base''' — a compaction: rewrites the full table state; readers
+  *    anchor at the latest base ≤ the requested snapshot and apply only
+  *    later deltas. Bounds merge-on-read cost to O(base + deltas-since).
   */
 class SnapshotTable(spark: SparkSession, root: String) {
 
+  final case class CommitResult(id: Long, rows: Long)
+
   private def commitsDir: Path = Paths.get(root, "commits")
   private def dataDir(n: Long): Path = Paths.get(root, "data", f"commit-$n%06d")
+  private def deleteDir(n: Long): Path = Paths.get(root, "deletes", f"commit-$n%06d")
 
   private val ManifestRe = "^v([0-9]{6})\\.json$".r
+  private val KindRe = "\"kind\":\"([a-z]+)\"".r
+  private val CoversRe = "\"covers\":(-?[0-9]+)".r
+  private val HasDeletesRe = "\"delete_dir\":".r
 
   /** Ids of committed snapshots, ascending. */
   def snapshots: Seq[Long] = {
@@ -49,51 +67,98 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   def latestSnapshot: Option[Long] = snapshots.lastOption
 
+  private def manifestText(n: Long): String =
+    new String(Files.readAllBytes(commitsDir.resolve(f"v$n%06d.json")), StandardCharsets.UTF_8)
+
+  /** Commit kind of snapshot `n` ("append" when the field is absent —
+    * pre-v2 manifests). */
+  def kindOf(n: Long): String =
+    KindRe.findFirstMatchIn(manifestText(n)).map(_.group(1)).getOrElse("append")
+
+  /** The `covers` staleness marker of snapshot `n`, when recorded. */
+  def coversOf(n: Long): Option[Long] =
+    CoversRe.findFirstMatchIn(manifestText(n)).map(_.group(1).toLong)
+
+  /** `covers` of the latest snapshot (None when the table is empty or the
+    * latest commit carries no marker). */
+  def latestCovers: Option[Long] = latestSnapshot.flatMap(coversOf)
+
   /** Read the table at the latest committed snapshot (None when empty). */
   def read(): Option[DataFrame] = readAt(latestSnapshot.getOrElse(-1L))
 
-  /** Read the table as of snapshot `n` (time travel). */
+  /** Read the table as of snapshot `n` (time travel): anchor at the latest
+    * base ≤ n, union data dirs in [anchor, n], anti-join delete keys in
+    * (anchor, n]. */
   def readAt(n: Long): Option[DataFrame] = {
-    val dirs = snapshots.filter(_ <= n).map(s => dataDir(s).toString)
-      .filter(d => Files.isDirectory(Paths.get(d)))
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    val ids = snapshots.filter(_ <= n)
+    if (ids.isEmpty) return None
+    val anchor = ids.filter(kindOf(_) == "base").lastOption.getOrElse(Long.MinValue)
+    val live = ids.filter(_ >= anchor)
+    val dataDirs = live.map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
+    if (dataDirs.isEmpty) return None
+    val data = spark.read.parquet(dataDirs: _*)
+    val delDirs = live.filter(_ > anchor)
+      .filter(id => HasDeletesRe.findFirstIn(manifestText(id)).isDefined)
+      .map(deleteDir).filter(Files.isDirectory(_)).map(_.toString)
+    if (delDirs.isEmpty) Some(data)
+    else {
+      val dels = spark.read.parquet(delDirs: _*)
+      Some(data.join(dels, dels.columns.toSeq, "left_anti"))
+    }
   }
 
-  /** Append `df` as a new snapshot; returns the snapshot id.
-    * Computes per-output-partition lineage (row count + seq range when a
-    * `seqCol` is present) from the written files themselves.
-    * `coalesceTo > 0` caps the number of data files — micro-run commits
-    * are often tiny and writing one file per upstream shuffle partition
-    * multiplies task-launch and footer overhead across every later read. */
+  /** Append `df` as a new snapshot; returns the snapshot id (compat API). */
   def commit(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
-             coalesceTo: Int = 0): Long = {
+             coalesceTo: Int = 0): Long =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None).id
+
+  /** Append + equality-deletes under ONE manifest (Iceberg v2 delta). */
+  def commitDelta(append: DataFrame, deleteKeys: DataFrame, metrics: Map[String, Double],
+                  seqCol: Option[String] = None, coalesceTo: Int = 0,
+                  covers: Option[Long] = None): CommitResult =
+    commitKind(append, metrics, seqCol, coalesceTo, "delta", Some(deleteKeys), covers)
+
+  /** Compaction: rewrite the full table state as a new base snapshot. */
+  def commitBase(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
+                 coalesceTo: Int = 0, covers: Option[Long] = None): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "base", None, covers)
+
+  /** Append with a `covers` staleness marker. */
+  def commitCovering(df: DataFrame, metrics: Map[String, Double], covers: Long,
+                     seqCol: Option[String] = None, coalesceTo: Int = 0): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers))
+
+  private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
+                         coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
+                         covers: Option[Long]): CommitResult = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
     val toWrite = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     // "overwrite": a dir at this id can only be a crashed run's orphan
     // (no manifest references it — see class doc), so reclaiming it is safe
     toWrite.write.mode("overwrite").parquet(out.toString)
+    val delDirJson = deleteKeys.map { dk =>
+      val dd = deleteDir(id)
+      dk.coalesce(1).write.mode("overwrite").parquet(dd.toString)
+      s""","delete_dir":"${dd.toString}""""
+    }.getOrElse("")
 
-    // lineage from the committed files (one row per data file)
-    val written = spark.read.parquet(out.toString)
-    val seqExpr = seqCol.map(c => col(c).cast("long")).getOrElse(lit(null).cast("long"))
-    val lineage = written
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), min(seqExpr).as("min_seq"), max(seqExpr).as("max_seq"))
-      .orderBy("file")
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val mn = if (r.isNullAt(2)) "null" else r.getLong(2).toString
-        val mx = if (r.isNullAt(3)) "null" else r.getLong(3).toString
-        s"""{"partition_id":$i,"n_rows":${r.getLong(1)},"min_seq":$mn,"max_seq":$mx}"""
-      }
+    // lineage from the committed files' footers (metadata only — no job)
+    val stats = ParquetFooters.stats(out, seqCol)
+    val rows = stats.map(_.rows).sum
+    val lineage = stats.zipWithIndex.map { case (s, i) =>
+      val mn = s.minSeq.map(_.toString).getOrElse("null")
+      val mx = s.maxSeq.map(_.toString).getOrElse("null")
+      s"""{"partition_id":$i,"n_rows":${s.rows},"min_seq":$mn,"max_seq":$mx}"""
+    }
 
-    val metricsJson = metrics.toSeq.sortBy(_._1)
+    val metricsJson = (metrics + ("n_rows" -> rows.toDouble)).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
+    val coversJson = covers.map(c => s""","covers":$c""").getOrElse("")
     val manifest =
       s"""{"snapshot_id":$id,
-         |"data_dir":"${out.toString}",
+         |"kind":"$kind",
+         |"data_dir":"${out.toString}"$delDirJson$coversJson,
          |"committed_at_ms":${System.currentTimeMillis()},
          |"metrics":$metricsJson,
          |"lineage":[${lineage.mkString(",")}]}""".stripMargin
@@ -103,7 +168,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, commitsDir.resolve(f"v$id%06d.json"),
       StandardCopyOption.ATOMIC_MOVE)
-    id
+    CommitResult(id, rows)
   }
 
   /** All committed manifests as a DataFrame (metrics + lineage queryable). */

@@ -57,6 +57,50 @@ class FilterSpec extends AnyFunSuite {
     assert(back.size == cf.size)
   }
 
+  test("bucket-sliced dedup == exact anti-join on an index exceeding the per-slice budget") {
+    // The 10^10 regime in miniature: the FULL block map is bigger than the
+    // (scaled-down) broadcast budget, but every slice fits it. The index is
+    // fed as per-run APPENDED rows (two rows per bucket) so the slice path
+    // also exercises the distributed merge.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val numBuckets = 64
+    val numSlices = 8
+    val rnd = new scala.util.Random(101)
+    val seenHashes = (1 to 60000).map(_ => rnd.nextLong()).distinct
+    val candHashes = (seenHashes.take(20000) ++ (1 to 40000).map(_ => rnd.nextLong())).distinct
+    val (seenA, seenB) = seenHashes.splitAt(seenHashes.size / 2)
+    val seen = seenHashes.toDF("url_hash")
+    val cand = candHashes.map(h => (h, s"u$h")).toDF("url_hash", "url")
+
+    // index appended in two "runs" — mergeIndex must fold them per bucket
+    val idxRows = BloomDedup.buildIndex(seenA.toDF("url_hash"), numBuckets,
+        expectedPerBucket = 2048)
+      .union(BloomDedup.buildIndex(seenB.toDF("url_hash"), numBuckets,
+        expectedPerBucket = 2048))
+
+    val fullBytes = BloomDedup.collectBlocks(BloomDedup.mergeIndex(idxRows))
+      .values.map(_.length.toLong).sum
+    val budget = fullBytes / 4 // a budget the full index exceeds
+    assert(fullBytes > budget)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    BloomDedup.dedupSliced(cand, seen, idxRows, numBuckets, numSlices) { (s, df) =>
+      // per-slice block map must fit the budget (the whole point)
+      val sliceIdx = BloomDedup.mergeIndex(
+        idxRows.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.lit(numSlices)) === s))
+      val sliceBytes = BloomDedup.collectBlocks(sliceIdx).values.map(_.length.toLong).sum
+      assert(sliceBytes <= budget, s"slice $s blocks $sliceBytes exceed budget $budget")
+      got ++= df.select("url_hash").as[Long].collect()
+    }
+    val exact = cand.join(seen, Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect()
+    assert(got.sorted.toSeq == exact.sorted.toSeq,
+      s"sliced dedup diverged: got ${got.size}, exact ${exact.length}")
+  }
+
   test("bloom dedup equals exact anti-join") {
     val spark = TestSpark.spark
     import spark.implicits._
