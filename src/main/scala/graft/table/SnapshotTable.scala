@@ -123,29 +123,42 @@ class SnapshotTable(spark: SparkSession, root: String) {
                  coalesceTo: Int = 0, covers: Option[Long] = None): CommitResult =
     commitKind(df, metrics, seqCol, coalesceTo, "base", None, covers)
 
+  /** Append, returning the committed row count (from footers) too.
+    * `skipIfEmpty`: when the write turns out to hold 0 rows, reclaim the
+    * data dir and commit nothing — keeps micro-run tail commits from
+    * growing the table's dir list (each read unions every committed dir). */
+  def commitCounted(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
+                    coalesceTo: Int = 0, skipIfEmpty: Boolean = false): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None, skipIfEmpty)
+
   /** Append with a `covers` staleness marker. */
   def commitCovering(df: DataFrame, metrics: Map[String, Double], covers: Long,
-                     seqCol: Option[String] = None, coalesceTo: Int = 0): CommitResult =
-    commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers))
+                     seqCol: Option[String] = None, coalesceTo: Int = 0,
+                     skipIfEmpty: Boolean = false): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers), skipIfEmpty)
 
   private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
                          coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
-                         covers: Option[Long]): CommitResult = {
+                         covers: Option[Long], skipIfEmpty: Boolean = false): CommitResult = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
     val toWrite = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     // "overwrite": a dir at this id can only be a crashed run's orphan
     // (no manifest references it — see class doc), so reclaiming it is safe
     toWrite.write.mode("overwrite").parquet(out.toString)
+
+    // lineage from the committed files' footers (metadata only — no job)
+    val stats = ParquetFooters.stats(out, seqCol)
+    val rows = stats.map(_.rows).sum
+    if (rows == 0 && skipIfEmpty && deleteKeys.isEmpty) {
+      deleteRecursively(out)
+      return CommitResult(latestSnapshot.getOrElse(0L), 0L)
+    }
     val delDirJson = deleteKeys.map { dk =>
       val dd = deleteDir(id)
       dk.coalesce(1).write.mode("overwrite").parquet(dd.toString)
       s""","delete_dir":"${dd.toString}""""
     }.getOrElse("")
-
-    // lineage from the committed files' footers (metadata only — no job)
-    val stats = ParquetFooters.stats(out, seqCol)
-    val rows = stats.map(_.rows).sum
     val lineage = stats.zipWithIndex.map { case (s, i) =>
       val mn = s.minSeq.map(_.toString).getOrElse("null")
       val mx = s.maxSeq.map(_.toString).getOrElse("null")
@@ -176,6 +189,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (snapshots.isEmpty) None
     else Some(spark.read.option("multiLine", true)
       .json(commitsDir.resolve("v*.json").toString))
+  }
+
+  /** Data appended in snapshots (a, b] only — the incremental read for
+    * callers tracking their own watermark (e.g. attempts since the last
+    * pending compaction). None when no data dirs exist in the range. */
+  def readBetween(a: Long, b: Long): Option[DataFrame] = {
+    val dirs = snapshots.filter(id => id > a && id <= b)
+      .map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Latest base (compaction) snapshot id ≤ the head, when one exists. */
+  def latestBase: Option[Long] = snapshots.filter(kindOf(_) == "base").lastOption
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Simulate a crash: write data files for a would-be snapshot but no

@@ -155,7 +155,12 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {
     val root = Files.createTempDirectory("crawl-stalebloom").toString
-    val e1 = newEngine(root)
+    // bloomCommitEvery = 1 so run 2 definitely checkpointed the index —
+    // the crash we simulate is losing that checkpoint
+    val e1 = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, bloomCommitEvery = 1),
+      new SyntheticFetcher(webCfg), web.robots)
     e1.seed(web.seeds)
     assert(e1.runOnce().isDefined && e1.runOnce().isDefined)
     // simulate the crash: drop the bloom index commit that covers run 2
@@ -165,6 +170,29 @@ class CrawlEngineSpec extends AnyFunSuite {
     val e2 = newEngine(root) // must detect the mismatch and rebuild
     e2.crawlAll()
     assert(e2.seenSet() == engine.seenSet(), "stale-bloom resume diverged")
+  }
+
+  test("stale pending table (crash before the fetchlog completion marker) forces rebuild, state still exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-stalepending").toString
+    val e1 = newEngine(root)
+    e1.seed(web.seeds)
+    assert(e1.runOnce().isDefined && e1.runOnce().isDefined)
+    // simulate a crash INSIDE run 2, after the pending delta but before the
+    // fetchlog completion marker: drop the last fetchlog manifest. The
+    // pending table now covers snapshot 2 while the fetchlog head is 1 —
+    // the covers mismatch must force a rebuild, and the replayed run's
+    // image/frontier commits must be idempotent.
+    val lastLog = e1.fetchlog.latestSnapshot.get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, "fetchlog", "commits", f"v$lastLog%06d.json"))
+    val e2 = newEngine(root)
+    e2.crawlAll()
+    assert(e2.seenSet() == engine.seenSet(), "stale-pending resume diverged")
+    val imgs = e2.imageTable().get.select("image_id").as[String].collect()
+    assert(imgs.length == imgs.distinct.length, "replayed run duplicated image rows")
+    assert(imgs.toSet == oracle.imagesCaptions.keySet.toSet)
   }
 
   test("resume from last committed snapshot equals uninterrupted run") {
