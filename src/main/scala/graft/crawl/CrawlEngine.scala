@@ -11,10 +11,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Engine configuration. `SeqBase` bounds: the hierarchical sequence code
-  * `child = parent*64 + linkIdx + 1` stays unique while hosts < 64,
-  * links/page < 63 and depth ≤ 9 — ample for the synthetic web; at true
-  * web scale the code widens to two longs (documented tradeoff).
+/** Engine configuration. Sequence-code bounds: the hierarchical code
+  * `child = parent*64 + linkIdx + 1` is a decimal(38,0) — unique and
+  * totally ordered while seeds < 64, links/page < 63 and depth ≤ 20
+  * (63·64^20 < 10^38). Past that, widen the decimal digits-per-level or
+  * switch to a length-prefixed digit string; depth-20 BFS frontiers are
+  * beyond any real crawl's politeness budget anyway.
   *
   * `bloomCommitEvery` / `compactEvery`: the bloomidx checkpoint and the
   * pending-table compaction are batched — a crash between batch points
@@ -123,7 +125,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         graft.urlkit.UrlKit.host(cu), graft.urlkit.UrlKit.path(cu),
         priority = 0.0, depth = 0, seq = i + 1L)
     }
-    frontier.commit(rows.toDF(), Map("n_seeds" -> rows.size.toDouble), Some("seq"))
+    frontier.commit(rows.toDF().withColumn("seq", col("seq").cast("decimal(38,0)")),
+      Map("n_seeds" -> rows.size.toDouble), Some("seq"))
   }
 
   // no distinct: every consumer is an anti-join probe (set semantics on
@@ -285,7 +288,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           .as(Seq("link_idx", "href")))
       .select(
         canonical_url(col("href")).as("url"),
-        (col("parent_seq") * 64 + col("link_idx") + 1).as("seq"),
+        // decimal(38,0) sequence code: totally ordered to depth 20 where a
+        // long overflows at 9 (the cast pins precision the multiply widened)
+        (col("parent_seq") * 64 + col("link_idx") + 1).cast("decimal(38,0)").as("seq"),
         (col("parent_depth") + 1).as("depth"))
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", url_host(col("url")))

@@ -1,8 +1,7 @@
 package graft.fetch
 
-import graft.model.FetchResult
 import graft.web.{FetchResponse, SyntheticWeb, WebConfig}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Injectable fetch policy (SURVEY.md §7.1 step 5). */
@@ -47,11 +46,10 @@ final class HttpFetcher(timeoutMs: Int = 10000) extends Fetcher {
   }
 }
 
-/** One scheduled request row (the scheduler's output contract). */
-final case class ScheduledRow(
-    url: String, url_hash: Long, host: String, path: String,
-    priority: Double, depth: Int, seq: Long, attempt: Int,
-    rank: Int, sched_offset_ms: Double)
+/** The scheduler's output contract: columns (url, url_hash, host, path,
+  * priority, depth, seq, attempt, rank, sched_offset_ms). `seq` is passed
+  * through untyped — the engine uses decimal(38,0) (the hierarchical
+  * sequence code outgrows a long past depth 9), benches use plain longs. */
 
 /** The fetch stage — the single permitted non-Catalyst `mapPartitions`
   * (north rule; SURVEY.md §2.1 S1/S3/S5).
@@ -70,9 +68,10 @@ object FetchStage {
 
   def run(scheduled: DataFrame, fetcher: Fetcher, hostSalts: Int,
           minIntervalMs: Long = 0L, realTime: Boolean = false,
-          fetchPartitions: Int = 0): Dataset[FetchResult] = {
+          fetchPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = scheduled.sparkSession
-    import spark.implicits._
     // Pin the partition count explicitly: fetch parallelism is a
     // politeness/concurrency decision, not a data-volume one — AQE's
     // coalescing otherwise merges a small batch's tiny shuffle blocks
@@ -87,22 +86,38 @@ object FetchStage {
       .repartition(nPart, col("host"), pmod(col("url_hash"), lit(math.max(1, hostSalts))))
       .sortWithinPartitions(col("host"), col("sched_offset_ms"))
       .select("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt", "rank", "sched_offset_ms")
-      .as[ScheduledRow]
+
+    // Row-based (not a case-class encoder): `seq` keeps its column type —
+    // the engine's decimal(38,0) sequence code has no lossless JVM-encoder
+    // mapping (BigDecimal encoders force scale 18, halving the range)
+    val outSchema = StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("url_hash", LongType, nullable = false),
+      StructField("host", StringType, nullable = false),
+      StructField("seq", salted.schema("seq").dataType, nullable = true),
+      StructField("depth", IntegerType, nullable = false),
+      StructField("attempt", IntegerType, nullable = false),
+      StructField("status", IntegerType, nullable = false),
+      StructField("body", StringType, nullable = true),
+      StructField("error", StringType, nullable = true)))
 
     salted.mapPartitions { rows =>
       val lastHit = scala.collection.mutable.HashMap.empty[String, Long]
       rows.map { r =>
+        val host = r.getString(2)
+        val url = r.getString(0)
+        val attempt = r.getInt(7)
         if (realTime && minIntervalMs > 0) {
           val now = System.currentTimeMillis()
-          val due = lastHit.getOrElse(r.host, 0L) + minIntervalMs
+          val due = lastHit.getOrElse(host, 0L) + minIntervalMs
           if (due > now) Thread.sleep(due - now)
-          lastHit(r.host) = math.max(now, due)
+          lastHit(host) = math.max(now, due)
         }
-        val resp = fetcher.fetch(r.url, r.attempt)
-        FetchResult(r.url, r.url_hash, r.host, r.seq, r.depth, r.attempt,
+        val resp = fetcher.fetch(url, attempt)
+        Row(url, r.getLong(1), host, r.get(6), r.getInt(5), attempt,
           resp.status, resp.body,
           if (resp.status == 200) "" else s"http_${resp.status}")
       }
-    }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

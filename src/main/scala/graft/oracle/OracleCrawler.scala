@@ -20,7 +20,7 @@ import scala.collection.mutable
 final class OracleCrawler(web: SyntheticWeb, perHostBudget: Int, maxRetries: Int) {
 
   final case class Entry(url: String, hash: Long, host: String, path: String,
-                         priority: Double, depth: Int, seq: Long)
+                         priority: Double, depth: Int, seq: BigInt)
 
   val frontier = mutable.LinkedHashMap.empty[Long, Entry]
   val fetchLog = mutable.ArrayBuffer.empty[(String, Long, Int, Int)] // url, hash, attempt, status
@@ -28,7 +28,7 @@ final class OracleCrawler(web: SyntheticWeb, perHostBudget: Int, maxRetries: Int
   private val attempted = mutable.HashSet.empty[Long]
   val imagesCaptions = mutable.LinkedHashMap.empty[String, String]
   /** per-run scheduled (url, seq) lists in canonical (seq asc) order */
-  val runOrders = mutable.ArrayBuffer.empty[Seq[(String, Long)]]
+  val runOrders = mutable.ArrayBuffer.empty[Seq[(String, BigInt)]]
 
   private val robots: Map[String, Seq[String]] =
     web.robots.map(r => r.host -> r.disallow).toMap
@@ -38,7 +38,7 @@ final class OracleCrawler(web: SyntheticWeb, perHostBudget: Int, maxRetries: Int
       val cu = UrlKit.canonicalize(u)
       val h = UrlKit.xxhash64(cu)
       frontier.getOrElseUpdate(h,
-        Entry(cu, h, UrlKit.host(cu), UrlKit.path(cu), 0.0, 0, i + 1L))
+        Entry(cu, h, UrlKit.host(cu), UrlKit.path(cu), 0.0, 0, BigInt(i + 1)))
     }
 
   private def allowed(e: Entry): Boolean =

@@ -6,6 +6,7 @@ import graft.frontier.Politeness
 import graft.images.ImageKit
 import graft.oracle.OracleCrawler
 import graft.web.{SyntheticWeb, WebConfig}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -58,9 +59,10 @@ class CrawlEngineSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val log = engine.fetchlog.read().get
-    val engineRuns = log.select("run", "url", "seq").as[(Long, String, Long)]
+    val engineRuns = log.select(col("run"), col("url"), col("seq").cast("string"))
+      .as[(Long, String, String)]
       .collect().groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._3).map(r => (r._2, r._3)).toSeq }
+      .map { case (_, rows) => rows.map(r => (r._2, BigInt(r._3))).sortBy(_._2).toSeq }
     assert(engineRuns.size == oracle.runOrders.size,
       s"run count: engine=${engineRuns.size} oracle=${oracle.runOrders.size}")
     engineRuns.zip(oracle.runOrders).zipWithIndex.foreach { case ((got, exp), i) =>
@@ -193,6 +195,44 @@ class CrawlEngineSpec extends AnyFunSuite {
     val imgs = e2.imageTable().get.select("image_id").as[String].collect()
     assert(imgs.length == imgs.distinct.length, "replayed run duplicated image rows")
     assert(imgs.toSet == oracle.imagesCaptions.keySet.toSet)
+  }
+
+  test("depth > 9 crawl (seq code past long overflow) still matches the oracle exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // deep binary-tree web: page p sits at depth ~log2(p), so 4200 pages
+    // reach depth 12 — where the old long code (64^d) overflowed at d=9
+    val deepCfg = WebConfig(nHosts = 1, pagesPerHost = 4200, hotFactor = 1,
+      failPct = 2, imagesPerPage = 1, linksPerPage = 2)
+    val deepWeb = new SyntheticWeb(deepCfg)
+    val deepBudget = 4000
+    val o = new OracleCrawler(deepWeb, deepBudget, maxRetries)
+    o.seed(deepWeb.seeds)
+    o.crawlAll()
+    val root = Files.createTempDirectory("crawl-deep").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = deepBudget), maxRetries,
+        useBloom = true, bloomBuckets = 8),
+      new SyntheticFetcher(deepCfg), deepWeb.robots)
+    e.seed(deepWeb.seeds)
+    e.crawlAll()
+
+    val maxDepth = e.fetchlog.read().get
+      .agg(org.apache.spark.sql.functions.max("depth")).as[Int].collect().head
+    assert(maxDepth > 9, s"web too shallow (depth $maxDepth) — widen pagesPerHost")
+    val maxSeq = e.fetchlog.read().get
+      .agg(org.apache.spark.sql.functions.max(col("seq")).cast("string")).as[String]
+      .collect().head
+    assert(BigInt(maxSeq) > BigInt(Long.MaxValue),
+      s"seq $maxSeq never exceeded long range — the widening is untested")
+
+    assert(e.seenSet() == o.seenSet, "deep crawl seen-set diverged from oracle")
+    val engineRuns = e.fetchlog.read().get
+      .select(col("run"), col("url"), col("seq").cast("string"))
+      .as[(Long, String, String)].collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, BigInt(r._3))).sortBy(_._2).toSeq }
+    assert(engineRuns.size == o.runOrders.size)
+    engineRuns.zip(o.runOrders).foreach { case (got, exp) => assert(got == exp) }
   }
 
   test("resume from last committed snapshot equals uninterrupted run") {
