@@ -130,10 +130,15 @@ object Bench {
     n / secs
   }
 
+  /** Headline queries (VERDICT r01 #6): the scale paths only — q09b is
+    * the PARTITIONED sliding window (q09's global-order variant is the
+    * reference's exact semantics but a single-partition sort at scale) and
+    * q23 is the banded MinHash-LSH (q24's all-pairs join is its exact
+    * oracle, not a plan to advertise). */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_filter_revenue", "q04_top_customers",
-    "q08_topk_per_group", "q09_sliding_window", "q17_frontier_dedup",
-    "q18_host_schedule", "q24_jaccard_pairs", "q26_cosine_topk",
+    "q08_topk_per_group", "q09b_keyed_window", "q17_frontier_dedup",
+    "q18_host_schedule", "q23_minhash_lsh", "q26_cosine_topk",
     "q32_stream_window")
 
   def session(cpus: String): SparkSession = {

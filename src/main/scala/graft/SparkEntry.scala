@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CrawlQueries, Extras, NLQueries, Relational, TrainingData}
+import graft.queries.{CrawlQueries, Extraction, Extras, NLQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,12 @@ object SparkEntry {
     "q41_embedding_neardup"   -> (TrainingData.q41EmbeddingNeardup _),
     "q42_embedding_lsh"       -> (TrainingData.q42EmbeddingLsh _),
     "q43_winnow_fingerprints" -> (TrainingData.q43WinnowFingerprints _),
+    "q44_config_extract"      -> (Extraction.q44ConfigExtract _),
+    "q45_extraction_stats"    -> (Extraction.q45ExtractionStats _),
+    "q46_validation_report"   -> (Extraction.q46ValidationReport _),
+    "q47_text_search"         -> (Extraction.q47TextSearch _),
+    "q48_ivf_nprobe"          -> ((s, d) => TrainingData.q48IvfNprobe(s, d)),
+    "q09b_keyed_window"       -> (Extraction.q09bKeyedWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +113,12 @@ object SparkEntry {
     "q41_embedding_neardup" -> TrainingData.q41Sql,
     // q42 (hyperplane LSH) is not SQL-expressible → rows-only check;
     // recall vs the exact q41 pairs is pinned in TrainingDataSpec.
+    "q44_config_extract"    -> Extraction.q44Sql,
+    "q45_extraction_stats"  -> Extraction.q45Sql,
+    "q46_validation_report" -> Extraction.q46Sql,
+    "q47_text_search"       -> Extraction.q47Sql,
+    // q48 (IVF nprobe) is not SQL-expressible → rows-only check; recall vs
+    // q26 brute force (and nprobe=K ≡ exact) is pinned in TrainingDataSpec.
+    "q09b_keyed_window"     -> Extraction.q09bSql,
   )
 }

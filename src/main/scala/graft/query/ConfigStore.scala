@@ -18,7 +18,10 @@ final case class ExtractionConfig(
     tags: Seq[String],
     selectors: Map[String, String],
     confidence: Map[String, Double],
-    createdAtMs: Long)
+    createdAtMs: Long,
+    /** per-field fallback selector chains, tried in order when the primary
+      * yields nothing (lib/rule_parser.py:177-201) */
+    fallbacks: Map[String, Seq[String]] = Map.empty)
 
 class ConfigStore(root: String) {
 
@@ -45,9 +48,15 @@ class ConfigStore(root: String) {
     val confidence = c.confidence.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val tags = c.tags.map(t => s""""${esc(t)}"""").mkString("[", ",", "]")
+    // fallback chains flattened with U+2016 (printable, never escaped, not
+    // a plausible selector character) so the flat-pair parser round-trips
+    val fallbacks = c.fallbacks.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v.mkString("‖"))}"""" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"name":"${esc(c.name)}","domain":"${esc(c.domain)}","tags":$tags,
          |"selectors":$selectors,"confidence":$confidence,
+         |"fallbacks":$fallbacks,
          |"created_at_ms":${c.createdAtMs}}""".stripMargin
     val p = pathOf(c.name)
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
@@ -60,6 +69,7 @@ class ConfigStore(root: String) {
   private val CreatedRe = "\"created_at_ms\":(\\d+)".r
   private val SelRe = "\"selectors\":\\{(.*?)\\}".r
   private val ConfRe = "\"confidence\":\\{(.*?)\\}".r
+  private val FbRe = "\"fallbacks\":\\{(.*?)\\}".r
   private val PairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val NumPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":([0-9.Ee+-]+)".r
 
@@ -83,7 +93,10 @@ class ConfigStore(root: String) {
       val confs = ConfRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       val confidence = NumPairRe.findAllMatchIn(confs)
         .map(m => unesc(m.group(1)) -> m.group(2).toDouble).toMap
-      ExtractionConfig(n, d, tags, selectors, confidence, created)
+      val fbs = FbRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val fallbacks = PairRe.findAllMatchIn(fbs)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2)).split('‖').toSeq).toMap
+      ExtractionConfig(n, d, tags, selectors, confidence, created, fallbacks)
     }
   }
 
