@@ -92,6 +92,33 @@ object Bench {
     nCand / secs
   }
 
+  /** Candidates through the BUCKET-SLICED dedup — the beyond-broadcast
+    * regime (seen sets whose full Bloom index exceeds the driver/executor
+    * broadcast budget). The index is built once outside the timed window
+    * (steady state: the engine maintains it incrementally); the timed
+    * section drives every slice to completion. */
+  def benchDedupSliced(spark: SparkSession, nCand: Long, nSeen: Long,
+                       numBuckets: Int = 64, numSlices: Int = 8): Double = {
+    import graft.frontier.BloomDedup
+    val seen = spark.range(nSeen)
+      .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+    val cand = spark.range(nCand)
+      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
+        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+    val idx = BloomDedup.buildIndex(seen, numBuckets,
+      expectedPerBucket = nSeen / numBuckets + 1).cache()
+    idx.count()
+    val (_, secs) = timed {
+      var kept = 0L
+      BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices) { (_, df) =>
+        kept += df.count()
+      }
+      kept
+    }
+    idx.unpersist()
+    nCand / secs
+  }
+
   /** End-to-end micro-run crawl over the synthetic web: frontier →
     * dedup → schedule → fetch → parse → payload → snapshot commits,
     * until drained. Reports total fetches/sec including ALL engine

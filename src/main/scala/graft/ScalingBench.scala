@@ -28,6 +28,11 @@ object ScalingBench {
   val FetchLatN = 16000L
   val RttMs = 2
 
+  // beyond-broadcast regime (VERDICT r01 #1): ≥10^8 seen keys, dedup'd in
+  // hash-range slices so only |index|/slices is ever broadcast at once
+  val XlSeenN = 128L * 1024 * 1024
+  val XlCandN = 8L * 1024 * 1024
+
   private def trial(stage: String, spark: org.apache.spark.sql.SparkSession,
                     warm: Boolean): Double = stage match {
     case "fetch" =>
@@ -39,6 +44,9 @@ object ScalingBench {
     case "dedup" =>
       if (warm) Bench.benchDedup(spark, 100000, 50000)
       Bench.benchDedup(spark, CandN, SeenN)
+    case "dedupxl" =>
+      if (warm) Bench.benchDedupSliced(spark, 100000, 50000)
+      Bench.benchDedupSliced(spark, XlCandN, XlSeenN)
     case "images" =>
       if (warm) Bench.benchImages(spark, 3000)
       Bench.benchImages(spark, ImgN)
@@ -49,9 +57,32 @@ object ScalingBench {
     * time-shared and its available CPU drifts minute to minute —
     * back-to-back interleaving exposes both levels to the same
     * conditions, and best-of filters co-tenant noise. */
+  /** dedupxl: the 10^8-key index build dominates wall time, so each level
+    * keeps ONE session, builds the index once and takes the best of 3
+    * timed dedup passes (still interleaved 8/32/8/32 across reps would pay
+    * 6 multi-minute builds for no extra signal). */
+  def runPointXl(): Unit = {
+    val levels = Seq(8, 32)
+    Files.createDirectories(Paths.get("target"))
+    levels.foreach { level =>
+      val spark = Bench.session(level.toString)
+      try {
+        Bench.benchDedupSliced(spark, 100000, 50000) // warm codegen
+        val best = (1 to 3).map { rep =>
+          val r = Bench.benchDedupSliced(spark, XlCandN, XlSeenN)
+          println(f"SCALING_TRIAL stage=dedupxl cores=$level rep=$rep rate=$r%.1f")
+          r
+        }.max
+        val json = f"""{"stage":"dedupxl","cores":$level,"rate":$best%.1f}"""
+        Files.writeString(pointPath("dedupxl", level), json)
+        println(s"SCALING_POINT $json")
+      } finally { spark.stop(); System.gc() }
+    }
+  }
+
   def runPoint(stage: String, cores: Int): Unit = {
     val levels = Seq(2, 8, 32)
-    val best = scala.collection.mutable.Map(2 -> 0.0, 8 -> 0.0, 32 -> 0.0)
+    val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
     for (rep <- 1 to 3; level <- levels) {
       val spark = Bench.session(level.toString)
       try {
@@ -72,21 +103,28 @@ object ScalingBench {
   }
 
   def report(): Unit = {
-    def read(stage: String, cores: Int): Double = {
-      val s = Files.readString(pointPath(stage, cores))
-      "\"rate\":([0-9.]+)".r.findFirstMatchIn(s).get.group(1).toDouble
+    def read(stage: String, cores: Int): Option[Double] = {
+      val p = pointPath(stage, cores)
+      if (!Files.exists(p)) return None
+      "\"rate\":([0-9.]+)".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
     }
     val stages = Seq(
       "fetch" -> s"fetch+parse, CPU-bound ($FetchN URLs, 0 RTT)",
       "fetchlat" -> s"fetch+parse, latency-bound ($FetchLatN URLs, $RttMs ms RTT)",
       "dedup" -> s"frontier dedup ($CandN cand vs $SeenN seen)",
+      "dedupxl" -> s"SLICED dedup, beyond-broadcast ($XlCandN cand vs $XlSeenN seen, 8 slices)",
       "images" -> s"image payload+phash ($ImgN)")
     // rows are spliced into a stripMargin block after a margin '|': the
     // first row needs a single leading pipe (the template provides its
     // margin), later rows need a doubled one that the strip consumes
-    val rawRows = stages.map { case (k, label) =>
-      val r2 = read(k, 2); val r8 = read(k, 8); val r32 = read(k, 32)
-      f"| $label | $r2%,.0f | $r8%,.0f | $r32%,.0f | ${(r8 / r2) / 4.0}%.2f | ${(r32 / r8) / 4.0}%.2f |"
+    val rawRows = stages.flatMap { case (k, label) =>
+      (read(k, 8), read(k, 32)) match {
+        case (Some(r8), Some(r32)) =>
+          val c2 = read(k, 2).map(r2 => (f"$r2%,.0f", f"${(r8 / r2) / 4.0}%.2f"))
+            .getOrElse(("—", "—"))
+          Some(f"| $label | ${c2._1} | $r8%,.0f | $r32%,.0f | ${c2._2} | ${(r32 / r8) / 4.0}%.2f |")
+        case _ => None
+      }
     }
     val rows = rawRows.zipWithIndex
       .map { case (r, i) => if (i == 0) r else "|" + r }.mkString("\n")
@@ -159,8 +197,9 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "report" :: Nil => report()
+    case "dedupxl" :: _ => runPointXl()
     case stage :: _ if Set("fetch", "fetchlat", "dedup", "images")(stage) => runPoint(stage, 0)
     case _ =>
-      println("usage: ScalingBench <fetch|dedup|images> | report")
+      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupxl|images> | report")
   }
 }

@@ -29,7 +29,17 @@ final case class CrawlConfig(
     bloomBuckets: Int = 16,
     maxRuns: Int = 64,
     bloomCommitEvery: Int = 4,
-    compactEvery: Int = 8)
+    compactEvery: Int = 8,
+    /** > 1 switches the seen-set dedup to the BEYOND-BROADCAST regime:
+      * the Bloom index lives in the bloomidx table (maintained by
+      * distributed merge, never collected whole) and candidates dedup in
+      * `bloomSlices` hash-range slices, so peak driver/executor index
+      * memory is |index|/slices — the 10^10-seen-key path. Must divide
+      * bloomBuckets. 1 = driver-broadcast regime (right up to ~10^9). */
+    bloomSlices: Int = 1) {
+  require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
+    s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
+}
 
 final case class RunStats(
     run: Long, scheduled: Long, fetchedOk: Long, failed: Long,
@@ -105,12 +115,17 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def loadBloomBlocks(seen: DataFrame): Map[Int, Array[Byte]] =
     bloomBlocks.getOrElse {
       val logSnap = fetchlog.latestSnapshot.getOrElse(0L)
-      val fromTable = bloomidx.read().flatMap { df =>
-        val rows = df.filter(col("fetchlog_snapshot") === logSnap)
-          .select("bucket", "bloom").collect()
-        if (rows.isEmpty) None
-        else Some(rows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
-      }
+      // sliced-mode commits carry covers markers and hold per-run DELTA
+      // rows — not trustworthy as a full block map; force the rebuild when
+      // this root was last written by the sliced regime
+      val fromTable =
+        if (bloomidx.latestCovers.nonEmpty) None
+        else bloomidx.read().flatMap { df =>
+          val rows = df.filter(col("fetchlog_snapshot") === logSnap)
+            .select("bucket", "bloom").collect()
+          if (rows.isEmpty) None
+          else Some(rows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
+        }
       val blocks = fromTable.getOrElse(
         BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, cfg.bloomBuckets)))
       bloomBlocks = Some(blocks)
@@ -134,16 +149,49 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def seenKeys: Option[DataFrame] =
     fetchlog.read().map(_.select("url_hash"))
 
-  /** Anti-join `df` against the URL-seen set: Bloom prefilter + exact
-    * probe when enabled (only ~fpp·|df| + true dups reach the exact set),
-    * plain exact anti-join otherwise. Exact either way. */
-  private def dedupVsSeen(df: DataFrame): DataFrame = seenKeys match {
-    case None => df
+  /** The sliced-mode Bloom index rows `(bucket, bloom)`, validated fresh
+    * against the fetchlog head; stale (crash between the fetchlog commit
+    * and the index append, or a fresh engine on an old root) → rebuild
+    * the full index DISTRIBUTEDLY and commit it as a new base — the index
+    * never transits the driver in this regime. */
+  private def slicedIndexRows(seen: DataFrame): DataFrame = {
+    val head = fetchlog.latestSnapshot.getOrElse(0L)
+    if (!bloomidx.latestCovers.contains(head)) {
+      val full = BloomDedup.buildIndex(seen, cfg.bloomBuckets)
+      bloomidx.commitBase(full.withColumn("fetchlog_snapshot", lit(head)),
+        Map("rebuild" -> 1.0), covers = Some(head), coalesceTo = 1)
+    }
+    bloomidx.read().get.select("bucket", "bloom")
+  }
+
+  /** Anti-join `df` against the URL-seen set; exact either way.
+    * Returns the result plus a cleanup thunk the caller runs once done.
+    *
+    *  - broadcast regime (bloomSlices = 1): Bloom prefilter from the
+    *    driver-held block map + conditional exact probe — lazy, no
+    *    cleanup;
+    *  - sliced regime: each hash-range slice is dedup'd as its own action
+    *    (its blocks broadcast, used, destroyed) and cached; the returned
+    *    frame unions the cached slices, and cleanup unpersists them. */
+  private def dedupVsSeen(df: DataFrame): (DataFrame, () => Unit) = seenKeys match {
+    case None => (df, () => ())
+    case Some(seen) if !cfg.useBloom =>
+      (BloomDedup.dedup(df, seen, None, cfg.bloomBuckets), () => ())
+    case Some(seen) if cfg.bloomSlices <= 1 =>
+      (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets), () => ())
     case Some(seen) =>
-      if (cfg.useBloom)
-        BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
-      else
-        BloomDedup.dedup(df, seen, None, cfg.bloomBuckets)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
+        cfg.bloomBuckets, cfg.bloomSlices) { (_, out) =>
+        // localCheckpoint (eager), NOT persist: a persisted frame keeps the
+        // slice's (destroyed) broadcast in its recompute lineage and later
+        // consumers fail task serialization; checkpointing truncates the
+        // lineage so the broadcast is genuinely done. (On a real cluster
+        // the hardened variant writes each slice straight to the commit
+        // dir — same structure, durable storage.)
+        parts += out.localCheckpoint()
+      }
+      (parts.reduce(_.unionByName(_)), () => ())
   }
 
   /** Rebuild the pending work set from first principles — frontier ∖ seen
@@ -151,11 +199,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * duplicate appends) ∪ latest-attempt retryables. The slow, always-
     * correct path; runs only when the pending table's covers marker does
     * not match the fetchlog (fresh root, or crash inside a run). */
-  private def rebuildPending(): Option[DataFrame] = frontier.read().map { f =>
+  private def rebuildPending(): Option[(DataFrame, () => Unit)] = frontier.read().map { f =>
     val wDup = Window.partitionBy(col("url_hash")).orderBy(col("seq"))
     val fUnique = f.withColumn("__rn", row_number().over(wDup))
       .filter(col("__rn") === 1).drop("__rn")
-    val newPart = dedupVsSeen(fUnique).withColumn("attempt", lit(1))
+    val (deduped, cleanup) = dedupVsSeen(fUnique)
+    val newPart = deduped.withColumn("attempt", lit(1))
       .select(PendingCols.map(col): _*)
     val retryPart = fetchlog.read().map { log =>
       val w = Window.partitionBy(col("url_hash")).orderBy(desc("attempt"))
@@ -169,7 +218,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           (col("attempt") + 1).as("attempt"))
         .select(PendingCols.map(col): _*)
     }
-    retryPart.map(newPart.unionByName(_)).getOrElse(newPart)
+    (retryPart.map(newPart.unionByName(_)).getOrElse(newPart), cleanup)
   }
 
   /** The maintained pending state as of fetchlog snapshot `logHead`:
@@ -197,9 +246,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       pending.snapshots.flatMap(pending.coversOf).lastOption.exists(_ <= logHead)
     if (fresh) Some(pendingMaterialized(logHead))
     else
-      rebuildPending().map { df =>
-        pending.commitBase(df.select(PendingCols.map(col): _*),
-          Map("rebuild" -> 1.0), Some("seq"), covers = Some(logHead))
+      rebuildPending().map { case (df, cleanup) =>
+        try {
+          pending.commitBase(df.select(PendingCols.map(col): _*),
+            Map("rebuild" -> 1.0), Some("seq"), covers = Some(logHead))
+        } finally cleanup()
         pending.read().get
       }
   }
@@ -311,8 +362,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         col("m.depth").as("depth"), col("m.seq").as("seq"))
     val vsPending = batchUnique
       .join(pend.select("url_hash"), Seq("url_hash"), "left_anti")
-    val newCandidates = dedupVsSeen(vsPending)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (dedupedCand, dedupCleanup) = dedupVsSeen(vsPending)
+    val newCandidates = dedupedCand.persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- commits (snapshot isolation; fetchlog is the completion marker)
     // frontier append: idempotent under replay (rebuild dedups by hash)
@@ -357,7 +408,20 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // O(batch) and zero extra jobs; checkpointed to the bloomidx table
     // every `bloomCommitEvery` runs — a crash between checkpoints costs
     // the (tested) rebuild, never correctness
-    if (cfg.useBloom) {
+    if (cfg.useBloom && cfg.bloomSlices > 1) {
+      // sliced regime: append this run's blocks as index rows (distributed
+      // build, merged per bucket at read time); compact every K runs
+      val runIdx = BloomDedup.buildIndex(results.select("url_hash"), cfg.bloomBuckets)
+        .withColumn("fetchlog_snapshot", lit(runId))
+      bloomidx.commitCovering(runIdx, Map("run" -> runId.toDouble),
+        covers = runId, coalesceTo = 1)
+      if (runId % cfg.bloomCommitEvery == 0) {
+        val merged = BloomDedup.mergeIndex(bloomidx.read().get.select("bucket", "bloom"))
+        bloomidx.commitBase(merged.withColumn("fetchlog_snapshot", lit(runId)),
+          Map("compaction" -> 1.0, "run" -> runId.toDouble),
+          covers = Some(runId), coalesceTo = 1)
+      }
+    } else if (cfg.useBloom) {
       val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
       val merged = BloomDedup.addHashes(
         bloomBlocks.getOrElse(Map.empty), runHashes, cfg.bloomBuckets)
@@ -377,7 +441,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val blockedRate = if (nScheduled == 0) 0.0 else nFail.toDouble / nScheduled
     pol = Scheduler.nextDelay(pol, successRate, blockedRate)
 
-    results.unpersist(); newCandidates.unpersist()
+    results.unpersist(); newCandidates.unpersist(); dedupCleanup()
     Some(RunStats(runId, nScheduled, nOk, nFail, nNewImages, nNewCand,
       totalLinks - nNewCand, pol.clampedDelay))
   }
@@ -402,7 +466,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       }
     }
     val logHead = fetchlog.latestSnapshot.getOrElse(0L)
-    if (cfg.useBloom && lastBloomCommitRun != logHead)
+    if (cfg.useBloom && cfg.bloomSlices <= 1 && lastBloomCommitRun != logHead)
       bloomBlocks.foreach(commitBloom(_, logHead))
     out.toSeq
   }

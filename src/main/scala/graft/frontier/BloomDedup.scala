@@ -49,11 +49,16 @@ object BloomDedup {
     * table's `url_hash` column. One block per hash-range bucket. */
   def buildIndex(seen: DataFrame, numBuckets: Int,
                  expectedPerBucket: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
-    val spark = seen.sparkSession
-    import spark.implicits._
     val agg = udaf(new BloomAgg(expectedPerBucket, fpp))
+    // repartition by bucket BEFORE the aggregate: map-side partial
+    // aggregation would otherwise materialize a full-size BloomFilter
+    // buffer for EVERY bucket in EVERY task — tasks × buckets × blockSize
+    // heap (an OOM at 10^8 keys / 32 tasks, measured); after the exchange
+    // each task only ever holds its own buckets' buffers, and the raw
+    // 8-byte hashes shuffle smaller than merged buffers anyway
     seen.select(pmod(col("url_hash"), lit(numBuckets)).cast("int").as("bucket"),
                 col("url_hash"))
+      .repartition(numBuckets, col("bucket"))
       .groupBy("bucket")
       .agg(agg(col("url_hash")).as("bloom"))
   }

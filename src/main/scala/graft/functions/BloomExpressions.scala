@@ -17,9 +17,17 @@ import java.io.ByteArrayInputStream
   * block map. In its own object so generated Java calls it through the
   * static forwarders. */
 object BloomRuntime {
-  private val local = new ThreadLocal[scala.collection.mutable.HashMap[Long, BloomFilter]] {
-    override def initialValue() = scala.collection.mutable.HashMap.empty
+  private final class Cache {
+    val m = scala.collection.mutable.HashMap.empty[Long, BloomFilter]
+    var bytes: Long = 0L
   }
+  private val local = new ThreadLocal[Cache] {
+    override def initialValue() = new Cache
+  }
+  // per-thread cache budget in BYTES — 10^8-key indexes have multi-MB
+  // blocks, so an entry-count bound silently multiplies to gigabytes
+  // across task threads (measured OOM at 32 threads × 256 × 2.4 MB)
+  private val MaxCacheBytes = 64L * 1024 * 1024
 
   /** Membership test against a broadcast block map. The per-thread cache
     * means a block is deserialized once per (thread, epoch, bucket); the
@@ -30,15 +38,16 @@ object BloomRuntime {
   def test(epoch: Long, bucket: Int, hash: Long,
            bc: Broadcast[Map[Int, Array[Byte]]]): Boolean = {
     val key = epoch + bucket
-    val m = local.get()
-    var bf = m.getOrElse(key, null)
+    val c = local.get()
+    var bf = c.m.getOrElse(key, null)
     if (bf == null) {
       bc.value.get(bucket) match {
         case None => return false // no block for this bucket → definitely unseen
         case Some(bytes) =>
-          if (m.size > 256) m.clear() // bound the cache across runs
+          if (c.bytes + bytes.length > MaxCacheBytes) { c.m.clear(); c.bytes = 0L }
           bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-          m(key) = bf
+          c.m(key) = bf
+          c.bytes += bytes.length
       }
     }
     bf.mightContainLong(hash)

@@ -155,6 +155,33 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(e2.seenSet() == engine.seenSet())
   }
 
+  test("sliced (beyond-broadcast) dedup regime produces identical state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-sliced").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, bloomSlices = 2),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    e.crawlAll()
+    assert(e.seenSet() == engine.seenSet(), "sliced dedup changed the seen set")
+    val imgs = e.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    val ref = engine.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    assert(imgs == ref, "sliced dedup changed the payload table")
+    // resume inside the sliced regime (fresh engine, same root) drains
+    // cleanly without refetching
+    val before = e.fetchlog.read().get.count()
+    val e2 = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, bloomSlices = 2),
+      new SyntheticFetcher(webCfg), web.robots)
+    e2.crawlAll()
+    assert(e2.fetchlog.read().get.count() == before, "sliced resume refetched")
+  }
+
   test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {
     val root = Files.createTempDirectory("crawl-stalebloom").toString
     // bloomCommitEvery = 1 so run 2 definitely checkpointed the index —
