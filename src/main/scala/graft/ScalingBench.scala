@@ -146,28 +146,42 @@ object ScalingBench {
          ||---|---|---|---|---|---|
          |$rows
          |
-         |Headline N→4N pair (2→8 cores): the latency-bound fetch (the
-         |realistic regime for "URLs fetched/sec" — a crawler waits on the
-         |network and task slots overlap waits), the frontier dedup and the
-         |image payload stages all meet the ≥0.8 bar. The CPU-bound
-         |zero-RTT fetch is a parse microbenchmark whose absolute rate is
-         |two orders of magnitude above the latency-bound regime; it is
-         |memory-bandwidth-heavy and the most exposed to host noise.
+         |Headline N→4N pair (2→8 cores): every stage meets the ≥0.8 bar
+         |this round — the latency-bound fetch (the realistic regime for
+         |"URLs fetched/sec" — a crawler waits on the network and task
+         |slots overlap waits), the frontier dedup and the image payload
+         |stages. The CPU-bound zero-RTT fetch is a parse microbenchmark
+         |whose absolute rate is two orders of magnitude above the
+         |latency-bound regime; it is memory-bandwidth-heavy and the most
+         |exposed to host noise.
+         |
+         |Round-2 deltas: the r01 dedup REGRESSION at local[32]
+         |(1.73 M/s < 2.38 M/s at local[8]) is gone — 3.2 M/s at 8 →
+         |6.9 M/s at 32 after the probe-side distinct removal and the
+         |byte-bounded executor block cache. The new `dedupxl` row is the
+         |beyond-broadcast regime at 1.28×10⁸ seen keys (VERDICT r01 #1):
+         |hash-range-sliced dedup where only |index|/8 is ever broadcast,
+         |built by a bucket-pre-shuffled distributed index build.
          |
          |Stage definitions: fetch+parse = pre-planned frontier slice through
          |the fetch `mapPartitions` + Catalyst link parse; dedup = candidates
          |through the broadcast-Bloom-block prefilter expression + exact
          |conditional anti-join (steady-state index, built outside the timed
-         |window); image = deterministic codec encode + decode + 64-bit phash.
+         |window); dedupxl = same contract through `BloomDedup.dedupSliced`
+         |(per-slice block collect → broadcast → destroy); image =
+         |deterministic codec encode + decode + 64-bit phash.
          |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 32 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
          |hostSalts 4, local[32]): 34,999 fetches, 34,058 distinct URLs,
-         |47,262 stored image payloads in 173 s ≈ 202 urls/s INCLUDING
-         |frontier dedup, politeness planning, payload encode+phash and
-         |4 snapshot commits per micro-run. Per-micro-run fixed cost
-         |(~10 Spark jobs) dominates at toy batch sizes and amortizes with
-         |batch size — the per-stage tables above bound the asymptote.
+         |47,262 stored image payloads in 64.4 s ≈ 543 urls/s (r01: 202)
+         |INCLUDING frontier dedup, politeness planning, payload
+         |encode+phash and the snapshot commits. The r02 engine rework —
+         |pending delta table instead of per-run full-history rescans,
+         |metrics riding `Dataset.observe`, footer-stat lineage instead of
+         |read-back jobs, empty-commit skipping — cut the per-micro-run
+         |fixed cost ~3-5×; at the driver bench config (3,104-URL toy web)
+         |e2e went 26.8 → ~129 urls/s.
          |
          |Why 8→32 flattens HERE and why it would not on a cluster: a raw
          |JVM control (32 plain threads doing the image codec loop, no Spark)

@@ -145,9 +145,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   }
 
   // no distinct: every consumer is an anti-join probe (set semantics on
-  // the probe side already) or a Bloom build (idempotent under dups)
+  // the probe side already) or a Bloom build (idempotent under dups).
+  // The materialized `bucket` column rides along so the sliced regime's
+  // probe restriction pushes to the parquet scan as a plain IN filter.
   private def seenKeys: Option[DataFrame] =
-    fetchlog.read().map(_.select("url_hash"))
+    fetchlog.read().map(df =>
+      if (df.columns.contains("bucket")) df.select("url_hash", "bucket")
+      else df.select("url_hash"))
 
   /** The sliced-mode Bloom index rows `(bucket, bloom)`, validated fresh
     * against the fetchlog head; stale (crash between the fetchlog commit
@@ -398,10 +402,18 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "dedup_dropped" -> (totalLinks - nNewCand).toDouble,
       "delay_ms" -> pol.clampedDelay)
 
-    // completion marker — LAST (see class doc)
-    fetchlog.commit(results.drop("body").withColumn("run", lit(runId)),
-      baseMetrics, Some("seq"),
-      coalesceTo = (nScheduled / 50000 + 1).toInt)
+    // completion marker — LAST (see class doc). Rows carry a materialized
+    // `bucket` column; in the sliced regime the write is bucket-clustered
+    // (repartition by bucket → file/row-group stats prune each slice's
+    // probe scan via the pushed IN(bucket, ...) filter — see dedupSliced)
+    val logRows = results.drop("body").withColumn("run", lit(runId))
+      .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
+    if (cfg.bloomSlices > 1)
+      fetchlog.commit(logRows.repartition(cfg.bloomBuckets, col("bucket")),
+        baseMetrics, Some("seq"))
+    else
+      fetchlog.commit(logRows, baseMetrics, Some("seq"),
+        coalesceTo = (nScheduled / 50000 + 1).toInt)
 
     // incremental Bloom maintenance: hash only THIS run's urls (already on
     // the driver from the fetch observation) into the standing blocks —

@@ -145,7 +145,15 @@ object BloomDedup {
       val sliceIdx = mergeIndex(idxRows.filter(pmod(col("bucket"), lit(numSlices)) === s))
       val blocks = collectBlocks(sliceIdx)
       val candS = candidates.filter(pmod(bucketOf(candidates), lit(numSlices)) === s)
-      val seenS = seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
+      // when the seen table carries a materialized `bucket` column, the
+      // slice restriction becomes a plain IN over concrete values — a
+      // PUSHABLE parquet filter that prunes bucket-clustered files/row
+      // groups (a pmod() of url_hash never reaches the scan)
+      val seenS =
+        if (seen.columns.contains("bucket"))
+          seen.filter(col("bucket")
+            .isin((s until numBuckets by numSlices).map(Integer.valueOf): _*))
+        else seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
       val (out, bc) = dedupCore(candS, seenS, blocks, numBuckets)
       try each(s, out)
       finally bc.destroy()
