@@ -47,24 +47,31 @@ object Scheduler {
     * `robots`: (host, disallow: array<string>). Returns the scheduled
     * slice with `rank` and `sched_offset_ms`. */
   def schedule(pending: DataFrame, robots: DataFrame, pol: Politeness): DataFrame = {
-    val allowed = pending
+    val hasCrawlDelay = robots.columns.contains("crawlDelayMs")
+    val joined = pending
       .join(broadcast(robots), Seq("host"), "left_outer")
       .filter(col("disallow").isNull ||
         !exists(col("disallow"), p => col("path").startsWith(p)))
       .drop("disallow")
 
     val w = Window.partitionBy(col("host")).orderBy(desc("priority"), asc("seq"))
-    // hostSalts > 1 splits a host's requests across that many concurrent
-    // fetch partitions; spacing each stream by salts× the base delay
-    // keeps the host's AGGREGATE request rate at the politeness target
-    val delay = lit(pol.clampedDelay * math.max(1, pol.hostSalts))
-    allowed
+    // per-host effective delay: never faster than a site-declared
+    // Crawl-delay, whatever the adaptive controller wants; hostSalts > 1
+    // splits a host's requests across that many concurrent fetch
+    // partitions, and spacing each stream by salts× the delay keeps the
+    // host's AGGREGATE request rate at the politeness target
+    val baseDelay =
+      if (hasCrawlDelay) greatest(coalesce(col("crawlDelayMs"), lit(0.0)), lit(pol.clampedDelay))
+      else lit(pol.clampedDelay)
+    val delay = baseDelay * lit(math.max(1, pol.hostSalts).toDouble)
+    joined
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= pol.perHostBudget)
       .withColumn("__delay_ms", delay * jitterCol(col("url_hash"), col("attempt")))
       .withColumn("sched_offset_ms",
         sum(col("__delay_ms")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__delay_ms")
+      .drop("crawlDelayMs")
   }
 
   /** Adaptive delay controller (smart_rate_limiter.py:100-149 semantics):

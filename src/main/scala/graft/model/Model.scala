@@ -55,8 +55,11 @@ final case class RetryEntry(
     last_status: Int,
     error: String)
 
-/** Per-host robots rules (north-rule extension; not in reference). */
-final case class RobotsRule(host: String, disallow: Seq[String])
+/** Per-host robots rules (north-rule extension; not in reference).
+  * `crawlDelayMs`: a site-declared Crawl-delay — the scheduler never goes
+  * faster than it, whatever the adaptive controller wants. */
+final case class RobotsRule(host: String, disallow: Seq[String],
+                            crawlDelayMs: Option[Double] = None)
 
 /** Per-commit, per-partition lineage row (north rule: "per-partition
   * lineage rows plus fetch/dedup metrics on every commit"). */

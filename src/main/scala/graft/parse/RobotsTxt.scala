@@ -1,0 +1,67 @@
+package graft.parse
+
+import graft.model.RobotsRule
+
+/** robots.txt text parser (north-rule: "enforces robots.txt rules" — the
+  * engine consumes [[RobotsRule]] structures; this turns a fetched
+  * robots.txt body into one, per the original robots exclusion format:
+  * `User-agent` groups, `Disallow` prefixes, `Crawl-delay` seconds).
+  *
+  * Group selection follows the standard: the group whose User-agent line
+  * exactly matches `userAgent` (case-insensitive) wins; otherwise the
+  * `*` group; otherwise everything is allowed. Successive User-agent
+  * lines with no rules between them share one group. An empty
+  * `Disallow:` means allow-all and contributes no prefix. Comments
+  * (`#` to end of line) and unknown directives are ignored.
+  */
+object RobotsTxt {
+
+  def parse(host: String, text: String, userAgent: String = "*"): RobotsRule = {
+    final case class Group(agents: Seq[String], disallow: Seq[String],
+                           crawlDelaySec: Option[Double])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var disallow = scala.collection.mutable.ArrayBuffer.empty[String]
+    var delay: Option[Double] = None
+    var inRules = false
+
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.toSeq, disallow.toSeq, delay)
+      agents = scala.collection.mutable.ArrayBuffer.empty
+      disallow = scala.collection.mutable.ArrayBuffer.empty
+      delay = None
+      inRules = false
+    }
+
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val key = line.substring(0, i).trim.toLowerCase
+          val value = line.substring(i + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inRules) flush() // a UA line after rules starts a new group
+              agents += value.toLowerCase
+            case "disallow" =>
+              inRules = true
+              if (value.nonEmpty) disallow += value
+            case "crawl-delay" =>
+              inRules = true
+              delay = value.toDoubleOption.orElse(delay)
+            case _ => inRules = true // allow/sitemap/unknown: rule context
+          }
+        }
+      }
+    }
+    flush()
+
+    val ua = userAgent.toLowerCase
+    val chosen = groups.find(_.agents.contains(ua))
+      .orElse(groups.find(_.agents.contains("*")))
+    RobotsRule(host,
+      chosen.map(_.disallow).getOrElse(Seq.empty),
+      chosen.flatMap(_.crawlDelaySec).map(_ * 1000.0))
+  }
+}

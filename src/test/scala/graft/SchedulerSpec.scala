@@ -24,6 +24,56 @@ class SchedulerSpec extends AnyFunSuite {
     }).toDF("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt")
   }
 
+  test("robots.txt parser: group selection, empty disallow, crawl-delay, comments") {
+    import graft.parse.RobotsTxt
+    val txt =
+      """# robots for example.test
+        |User-agent: greedybot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /private/   # secrets
+        |Disallow: /tmp/
+        |Crawl-delay: 2.5
+        |
+        |User-agent: niceBot
+        |Disallow:
+        |Crawl-delay: 1
+        |""".stripMargin
+    val any = RobotsTxt.parse("example.test", txt)
+    assert(any.disallow == Seq("/private/", "/tmp/"))
+    assert(any.crawlDelayMs.contains(2500.0))
+    val nice = RobotsTxt.parse("example.test", txt, userAgent = "NiceBot")
+    assert(nice.disallow.isEmpty, "empty Disallow must allow all")
+    assert(nice.crawlDelayMs.contains(1000.0))
+    val greedy = RobotsTxt.parse("example.test", txt, userAgent = "greedybot")
+    assert(greedy.disallow == Seq("/"))
+    val none = RobotsTxt.parse("example.test", "# no groups at all\n")
+    assert(none.disallow.isEmpty && none.crawlDelayMs.isEmpty)
+  }
+
+  test("site Crawl-delay floors the politeness plan for its host only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val robots = Seq(
+      RobotsRule("host-0.test", Seq.empty, crawlDelayMs = Some(4000.0)),
+      RobotsRule("host-1.test", Seq.empty)).toDF()
+    val pol = Politeness(perHostBudget = 10, baseDelayMs = 500)
+    val out = Scheduler.schedule(pendingDf, robots, pol)
+      .select("host", "rank", "sched_offset_ms")
+      .as[(String, Int, Double)].collect()
+    def spacings(h: String): Seq[Double] = {
+      val offs = out.filter(_._1 == h).sortBy(_._2).map(_._3)
+      offs.head +: offs.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    }
+    // delayed host: every inter-request gap ≥ 4000 × 0.8 (jitter floor)
+    assert(spacings("host-0.test").forall(_ >= 4000 * 0.8),
+      s"crawl-delay not honored: ${spacings("host-0.test").take(3)}")
+    // others keep the adaptive delay envelope (500 × [0.8, 1.2))
+    assert(spacings("host-1.test").forall(g => g >= 400 && g < 600),
+      s"unexpected gaps: ${spacings("host-1.test").take(3)}")
+  }
+
   test("per-host budget and (priority desc, seq asc) ordering") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -89,6 +89,49 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(l.getLong(1) == 1L && l.getLong(2) == 1000L)
   }
 
+  test("model check: random append/delta/base sequences always read back the model state") {
+    // seeded-random op sequence against an in-memory set model — pins the
+    // merge-on-read fold (appends ∪, equality-deletes ∖, base anchors)
+    // beyond the handwritten cases. Keys are (url_hash, attempt) like the
+    // engine's pending rows: appended once, deleted at most once, after.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmpDir())
+    val rnd = new scala.util.Random(20260816L)
+    val model = scala.collection.mutable.LinkedHashMap.empty[(Long, Int), String]
+    var nextKey = 0L
+    def freshRows(n: Int): Seq[(Long, Int, String)] =
+      (1 to n).map { _ => nextKey += 1; (nextKey, 1 + rnd.nextInt(3), s"v$nextKey") }
+        .map { case (h, a, v) => model((h, a)) = v; (h, a, v) }
+    def liveSample(n: Int): Seq[(Long, Int)] =
+      rnd.shuffle(model.keys.toSeq).take(n)
+
+    freshRows(5) // initial append
+    t.commit(model.toSeq.map { case ((h, a), v) => (h, a, v) }.toDF("url_hash", "attempt", "v"),
+      Map.empty)
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // plain append
+          val rows = freshRows(1 + rnd.nextInt(4))
+          t.commit(rows.toDF("url_hash", "attempt", "v"), Map.empty)
+        case 1 => // delta: append fresh + delete a sample of live keys
+          val dels = liveSample(rnd.nextInt(3))
+          val rows = freshRows(1 + rnd.nextInt(3))
+          dels.foreach(model.remove)
+          t.commitDelta(rows.toDF("url_hash", "attempt", "v"),
+            if (dels.nonEmpty) dels.toDF("url_hash", "attempt")
+            else Seq.empty[(Long, Int)].toDF("url_hash", "attempt"),
+            Map.empty)
+        case 2 => // compaction
+          t.commitBase(t.read().get, Map.empty)
+      }
+      val got = t.read().get.select("url_hash", "attempt", "v")
+        .as[(Long, Int, String)].collect().toSet
+      val exp = model.toSet.map { kv: ((Long, Int), String) => (kv._1._1, kv._1._2, kv._2) }
+      assert(got == exp, s"divergence at step $step: got ${got.size}, exp ${exp.size}")
+    }
+  }
+
   test("manifests expose metrics and per-partition lineage") {
     val spark = TestSpark.spark
     import spark.implicits._
