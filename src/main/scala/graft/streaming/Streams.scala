@@ -75,6 +75,28 @@ object Streams {
         GroupStateTimeout.NoTimeout)(updateHost)
   }
 
+  /** Streaming frontier dedup: candidate URLs arriving as a stream are
+    * canonical-keyed and deduplicated STATEFULLY — `dropDuplicates` over
+    * `url_hash` keeps per-key state so a URL admitted once is never
+    * re-admitted, and the event-time watermark bounds that state (keys
+    * older than the horizon are evicted; a re-discovery after the horizon
+    * re-admits, which is exactly the recrawl-after-TTL semantics the
+    * cuckoo path serves in batch). `candidates` needs
+    * (url_hash: long, url: string, host: string, ts: timestamp). */
+  def frontierDedup(candidates: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    candidates
+      .withWatermark("ts", watermark)
+      .dropDuplicates("url_hash")
+
+  /** Streaming per-host admission counts over tumbling windows — the
+    * politeness budget's continuous analogue: downstream fetch dispatch
+    * reads at most `budget` rows per (host, window). */
+  def hostAdmissions(deduped: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    deduped
+      .groupBy(window(col("ts"), windowLen).as("win"), col("host"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .select(col("win.start").as("win_start"), col("host"), col("n_admitted"))
+
   /** File-source streaming ingest of an events directory (schema required
     * by Structured Streaming file sources). */
   def ingest(spark: SparkSession, dir: String): DataFrame = {

@@ -64,4 +64,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(d3.delayMs >= Streams.MinDelayMs && d3.delayMs < 400.0)
     } finally q.stop()
   }
+
+  test("streaming frontier dedup: a URL admitted once is never re-admitted across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val cands = input.toDF().toDF("url_hash", "url", "host", "ts")
+    val q = Streams.frontierDedup(cands).writeStream
+      .format("memory").queryName("frontier_stream").outputMode("append").start()
+    try {
+      def row(h: Long, sec: Int) =
+        (h, s"http://a.test/$h", "a.test", java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d"))
+      input.addData(row(1, 1), row(2, 1), row(1, 2)) // dup within batch
+      q.processAllAvailable()
+      input.addData(row(2, 3), row(3, 3)) // dup ACROSS batches + one new
+      q.processAllAvailable()
+      val got = spark.table("frontier_stream").select("url_hash")
+        .as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L),
+        s"stateful dedup failed: ${got.toSeq} (dups re-admitted or rows lost)")
+    } finally q.stop()
+  }
+
+  test("streaming per-host admissions: tumbling-window counts over the deduped stream") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val cands = input.toDF().toDF("url_hash", "url", "host", "ts")
+    val q = Streams.hostAdmissions(Streams.frontierDedup(cands))
+      .writeStream.format("memory").queryName("admissions")
+      .outputMode("complete").start()
+    try {
+      def row(h: Long, host: String, min: Int) =
+        (h, s"http://$host/$h", host, java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00"))
+      input.addData(row(1, "a.test", 0), row(2, "a.test", 0), row(2, "a.test", 0),
+        row(3, "b.test", 0), row(4, "a.test", 1))
+      q.processAllAvailable()
+      val got = spark.table("admissions")
+        .select("host", "n_admitted").as[(String, Long)].collect().sorted
+      assert(got.toSeq == Seq(("a.test", 1L), ("a.test", 2L), ("b.test", 1L)),
+        s"unexpected admissions: ${got.toSeq}")
+    } finally q.stop()
+  }
 }
