@@ -161,28 +161,6 @@ object BloomDedup {
     }
   }
 
-  /** Merge two block maps (same numBuckets/expected → compatible bit
-    * arrays). The incremental-maintenance primitive: per micro-run, only
-    * the run's new hashes are hashed into fresh blocks and merged into
-    * the standing index — O(batch), not O(|seen| history)
-    * (BloomFilter.mergeInPlace; capacity overfill degrades fpp, never
-    * correctness — the exact anti-join stays behind the prefilter). */
-  def mergeBlocks(a: Map[Int, Array[Byte]], b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] = {
-    (a.keySet ++ b.keySet).map { bucket =>
-      (a.get(bucket), b.get(bucket)) match {
-        case (Some(x), None) => bucket -> x
-        case (None, Some(y)) => bucket -> y
-        case (Some(x), Some(y)) =>
-          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
-          bf.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(y)))
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          bucket -> bos.toByteArray
-        case (None, None) => throw new IllegalStateException("unreachable")
-      }
-    }.toMap
-  }
-
   /** Candidates NOT in the seen set. `candidates` must carry `url_hash`;
     * rows are returned with their original columns. */
   def dedup(candidates: DataFrame, seen: DataFrame, bloomIndex: Option[DataFrame],

@@ -29,31 +29,11 @@ final case class FrontierEntry(
     depth: Int,
     seq: Long)
 
-/** One fetch outcome. `status` 200 = ok; 0 = transport error/timeout.
-  * Mirrors the reference's typed failure record
-  * (fpds_high_performance.py:319-331). */
-final case class FetchResult(
-    url: String,
-    url_hash: Long,
-    host: String,
-    seq: Long,
-    depth: Int,
-    attempt: Int,
-    status: Int,
-    body: String,
-    error: String)
-
-/** A retry-table row (reference: the failed_request_data JSON dumps,
-  * fpds_high_performance.py:315-347). */
-final case class RetryEntry(
-    url: String,
-    url_hash: Long,
-    host: String,
-    seq: Long,
-    depth: Int,
-    attempts: Int,
-    last_status: Int,
-    error: String)
+// Fetch results and retry rows are Row-based (their `seq` is a
+// decimal(38,0) with no lossless JVM-encoder mapping) — the schema lives
+// in FetchStage; the reference's typed failure record
+// (fpds_high_performance.py:319-331) maps onto the fetchlog columns
+// (url, url_hash, host, seq, depth, attempt, status, error, run, bucket).
 
 /** Per-host robots rules (north-rule extension; not in reference).
   * `crawlDelayMs`: a site-declared Crawl-delay — the scheduler never goes
@@ -61,14 +41,6 @@ final case class RetryEntry(
 final case class RobotsRule(host: String, disallow: Seq[String],
                             crawlDelayMs: Option[Double] = None)
 
-/** Per-commit, per-partition lineage row (north rule: "per-partition
-  * lineage rows plus fetch/dedup metrics on every commit"). */
-final case class LineageRow(
-    snapshot_id: Long,
-    partition_id: Int,
-    n_rows: Long,
-    min_seq: Long,
-    max_seq: Long)
-
-/** Per-commit scalar metric. */
-final case class MetricRow(snapshot_id: Long, key: String, value: Double)
+// Per-commit lineage and metrics live as JSON in the SnapshotTable
+// manifests (queryable via SnapshotTable.manifests()); the rows are
+// computed from parquet footer statistics — see table/ParquetFooters.
