@@ -55,14 +55,17 @@ final case class RunStats(
   *     priority, depth, seq) — the canonical sequence code `seq` defines
   *     the reference-equivalent total crawl order (§3.1: page asc, row asc
   *     ⇒ here: lexicographic (parent, linkIdx) code, ascending);
-  *  - `pending`: the LIVE work set, maintained as merge-on-read deltas —
-  *     each run appends this run's new candidates + retry rows and
-  *     equality-deletes the scheduled `(url_hash, attempt)` keys, so a run
-  *     reads O(live + deltas-since-compaction), NOT the full discovery /
-  *     attempt history (VERDICT r01 #3). Compacted every `compactEvery`
-  *     runs. It is a derived accelerator: each delta records the fetchlog
-  *     snapshot it covers, and a mismatch (crash window) rebuilds it from
-  *     `frontier ∖ seen ∪ retryable` — correctness never depends on it;
+  *  - `pending`: the LIVE work set, maintained merge-on-read — each run
+  *     APPENDS this run's new candidates + retry rows; the DELETES are
+  *     derived, never written: every scheduled pending row becomes exactly
+  *     one fetchlog row under the same `(url_hash, attempt)` key, so the
+  *     read anti-joins the fetchlog slice since the last compaction
+  *     (pendingMaterialized). A run reads O(live + deltas-since), NOT the
+  *     full discovery/attempt history (VERDICT r01 #3). Compacted every
+  *     `compactEvery` runs. It is a derived accelerator: each commit
+  *     records the fetchlog snapshot it covers, and a mismatch (crash
+  *     window) rebuilds it from `frontier ∖ seen ∪ retryable` —
+  *     correctness never depends on it;
   *  - `fetchlog`: one row per attempt; the URL-seen set is its distinct
   *     `url_hash` (successes ∪ tracked failures, fpds_high_performance
   *     .py:315-336). Its commit is the run's COMPLETION MARKER and
@@ -184,6 +187,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     case Some(seen) if cfg.bloomSlices <= 1 =>
       (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets), () => ())
     case Some(seen) =>
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
         cfg.bloomBuckets, cfg.bloomSlices) { (_, out) =>
@@ -195,7 +200,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         // dir — same structure, durable storage.)
         parts += out.localCheckpoint()
       }
-      (parts.reduce(_.unionByName(_)), () => ())
+      // the checkpointed slice blocks pin executor memory/disk until GC;
+      // the cleanup thunk releases exactly the RDDs this call created
+      val created = sc.getPersistentRDDs.keySet -- before
+      val cleanup = () => created.foreach { id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      }
+      (parts.reduce(_.unionByName(_)), cleanup)
   }
 
   /** Rebuild the pending work set from first principles — frontier ∖ seen
@@ -332,9 +343,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           ImageCaptionRow(id, bytes, w, h, f, caption, ImageKit.phash(bytes))
         }
       }.toDF()
-    val nNewImages = images.commitCounted(imageRows,
+    // repartition, NOT a commit-side coalesce: coalesce would pull the
+    // payload fetch + codec + phash mapPartitions into the (few) write
+    // tasks and single-thread the most expensive per-row stage; the
+    // repartition keeps generation at full parallelism and only the
+    // written bytes cross the one exchange
+    val nNewImages = images.commitCounted(
+      imageRows.repartition((nOk / 5000 + 1).toInt),
       Map("run" -> runId.toDouble), None,
-      coalesceTo = (nOk / 5000 + 1).toInt,
       skipIfEmpty = true).rows // count comes back via footers
 
     // ---- Catalyst parse stage: outlinks (F6) → new frontier rows ------

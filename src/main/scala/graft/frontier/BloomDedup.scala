@@ -148,10 +148,14 @@ object BloomDedup {
       // when the seen table carries a materialized `bucket` column, the
       // slice restriction becomes a plain IN over concrete values — a
       // PUSHABLE parquet filter that prunes bucket-clustered files/row
-      // groups (a pmod() of url_hash never reaches the scan)
+      // groups (a pmod() of url_hash never reaches the scan). Rows with a
+      // NULL bucket (pre-upgrade commits on an old root) are included in
+      // EVERY slice — Or(IsNull, In) still pushes, over-inclusion on the
+      // anti-join probe side is harmless, and excluding them would let
+      // their already-seen URLs re-enter as new
       val seenS =
         if (seen.columns.contains("bucket"))
-          seen.filter(col("bucket")
+          seen.filter(col("bucket").isNull || col("bucket")
             .isin((s until numBuckets by numSlices).map(Integer.valueOf): _*))
         else seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
       val (out, bc) = dedupCore(candS, seenS, blocks, numBuckets)

@@ -63,28 +63,29 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     val i2 = altBucket(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) { count += 1; return true }
     if (stashBucket >= 0) return false // stash occupied: refuse, table unchanged
-    // evict: bounded random-walk (deterministic: seeded by key)
+    // evict: bounded random-walk (deterministic: seeded by key); every
+    // exit from the loop is an insert — either a slot frees up or the
+    // final displaced fingerprint parks in the stash
     var bucket = if ((UrlKit.xxhash64(s"ce:$key") & 1L) == 0L) i1 else i2
+    var prevBucket = bucket
     var n = 0
     while (n < MaxKicks) {
       val base = slotBase(bucket)
       val victim = math.floorMod(UrlKit.xxhash64(s"cv:$key:$n"), SlotsPerBucket.toLong).toInt
       val tmp = table(base + victim)
       table(base + victim) = fp
-      val prevBucket = bucket
+      prevBucket = bucket
       fp = tmp
       bucket = altBucket(bucket, fp)
       if (tryInsertAt(bucket, fp)) { count += 1; return true }
-      if (n == MaxKicks - 1) {
-        // chain exhausted: park the last displaced fingerprint in the stash
-        // (its home pair is {prevBucket, bucket}; record one of them)
-        stashFp = fp; stashBucket = prevBucket
-        count += 1
-        return true
-      }
       n += 1
     }
-    false
+    // chain exhausted: park the last displaced fingerprint in the stash
+    // (its home pair is {prevBucket, bucket}; record one of them)
+    stashFp = fp
+    stashBucket = prevBucket
+    count += 1
+    true
   }
 
   def mightContain(key: Long): Boolean = {

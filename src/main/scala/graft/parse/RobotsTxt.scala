@@ -50,7 +50,11 @@ object RobotsTxt {
             case "crawl-delay" =>
               inRules = true
               delay = value.toDoubleOption.orElse(delay)
-            case _ => inRules = true // allow/sitemap/unknown: rule context
+            case "allow" =>
+              inRules = true // a group rule we don't restrict on, but it
+              // does mark the group as rule-bearing
+            case _ => // sitemap/unknown: NON-group lines — RFC 9309 says
+            // they do not split a group, so they must not flip inRules
           }
         }
       }

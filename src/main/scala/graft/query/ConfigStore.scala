@@ -67,9 +67,13 @@ class ConfigStore(root: String) {
   private val DomainRe = "\"domain\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val TagsRe = "\"tags\":\\[(.*?)\\]".r
   private val CreatedRe = "\"created_at_ms\":(\\d+)".r
-  private val SelRe = "\"selectors\":\\{(.*?)\\}".r
+  // string-valued objects are matched pair-atomically (quoted strings
+  // consumed whole) so a '}' INSIDE a selector value — e.g. a regex
+  // quantifier like {1,5} — can't truncate the object early
+  private val StrPairPat = "\"(?:[^\"\\\\]|\\\\.)*\"\\s*:\\s*\"(?:[^\"\\\\]|\\\\.)*\""
+  private val SelRe = ("\"selectors\":\\{((?:" + StrPairPat + ",?)*)\\}").r
   private val ConfRe = "\"confidence\":\\{(.*?)\\}".r
-  private val FbRe = "\"fallbacks\":\\{(.*?)\\}".r
+  private val FbRe = ("\"fallbacks\":\\{((?:" + StrPairPat + ",?)*)\\}").r
   private val PairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val NumPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":([0-9.Ee+-]+)".r
 

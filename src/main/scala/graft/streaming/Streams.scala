@@ -76,17 +76,19 @@ object Streams {
   }
 
   /** Streaming frontier dedup: candidate URLs arriving as a stream are
-    * canonical-keyed and deduplicated STATEFULLY — `dropDuplicates` over
-    * `url_hash` keeps per-key state so a URL admitted once is never
-    * re-admitted, and the event-time watermark bounds that state (keys
-    * older than the horizon are evicted; a re-discovery after the horizon
-    * re-admits, which is exactly the recrawl-after-TTL semantics the
-    * cuckoo path serves in batch). `candidates` needs
+    * canonical-keyed and deduplicated STATEFULLY, with the event-time
+    * watermark actually bounding the state: keys older than the horizon
+    * are evicted, so a re-discovery after the horizon re-admits — the
+    * recrawl-after-TTL semantics the cuckoo path serves in batch. This
+    * needs `dropDuplicatesWithinWatermark` — a plain
+    * `dropDuplicates("url_hash")` would keep every key forever (watermark
+    * eviction only applies when the event-time column is part of the
+    * dedup key). `candidates` needs
     * (url_hash: long, url: string, host: string, ts: timestamp). */
   def frontierDedup(candidates: DataFrame, watermark: String = "10 minutes"): DataFrame =
     candidates
       .withWatermark("ts", watermark)
-      .dropDuplicates("url_hash")
+      .dropDuplicatesWithinWatermark("url_hash")
 
   /** Streaming per-host admission counts over tumbling windows — the
     * politeness budget's continuous analogue: downstream fetch dispatch

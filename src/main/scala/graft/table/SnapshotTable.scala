@@ -33,10 +33,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - '''delta''' — append + equality-delete keys in one manifest
   *    (Iceberg v2 equality deletes). A delete key row removes every earlier
   *    appended row matching it on ALL key columns. Callers must key deletes
-  *    so a deleted row is never re-appended under the same key (the crawl
-  *    engine keys pending rows by `(url_hash, attempt)`, which is appended
-  *    and deleted at most once each) — then global set semantics
-  *    (∪appends ∖ ∪deletes) equal the per-commit fold.
+  *    so a deleted row is never re-appended under the same key — then
+  *    global set semantics (∪appends ∖ ∪deletes) equal the per-commit
+  *    fold. This is the general-purpose API (pinned by the spec's model
+  *    check); the crawl engine's pending table goes one step further and
+  *    never writes deletes at all — its `(url_hash, attempt)` delete keys
+  *    are derivable from the fetchlog, so the read side anti-joins that
+  *    instead (CrawlEngine.pendingMaterialized).
   *  - '''base''' — a compaction: rewrites the full table state; readers
   *    anchor at the latest base ≤ the requested snapshot and apply only
   *    later deltas. Bounds merge-on-read cost to O(base + deltas-since).

@@ -61,6 +61,19 @@ class ExtractionSpec extends AnyFunSuite {
     assert(back.confidence == cfg.confidence)
   }
 
+  test("config store survives '}' inside selector values (regex quantifiers)") {
+    val dir = java.nio.file.Files.createTempDirectory("cfgstore2").toString
+    val store = new ConfigStore(dir)
+    val cfg = ExtractionConfig("braces", "d", Nil,
+      selectors = Map("amount" -> "regex:([0-9]{1,5}\\.[0-9]{2})"),
+      confidence = Map("amount" -> 0.7), createdAtMs = 1L,
+      fallbacks = Map("amount" -> Seq("regex:\\$([0-9]{3,})", "css:td.amount")))
+    store.save(cfg)
+    val back = store.load("braces").get
+    assert(back.selectors == cfg.selectors, s"selectors mangled: ${back.selectors}")
+    assert(back.fallbacks == cfg.fallbacks, s"fallbacks mangled: ${back.fallbacks}")
+  }
+
   test("XML sink: every part well-formed, records complete, text escaped") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -2,6 +2,7 @@ package graft
 
 import graft.frontier.{Politeness, Scheduler}
 import graft.model.RobotsRule
+import graft.parse.RobotsTxt
 import graft.urlkit.UrlKit
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -25,7 +26,6 @@ class SchedulerSpec extends AnyFunSuite {
   }
 
   test("robots.txt parser: group selection, empty disallow, crawl-delay, comments") {
-    import graft.parse.RobotsTxt
     val txt =
       """# robots for example.test
         |User-agent: greedybot
@@ -50,6 +50,18 @@ class SchedulerSpec extends AnyFunSuite {
     assert(greedy.disallow == Seq("/"))
     val none = RobotsTxt.parse("example.test", "# no groups at all\n")
     assert(none.disallow.isEmpty && none.crawlDelayMs.isEmpty)
+    // RFC 9309: non-group lines (Sitemap, unknown keys) must NOT split a
+    // group — a named agent followed by a Sitemap line before the shared
+    // rules still gets those rules
+    val withSitemap =
+      """User-agent: graftbot
+        |Sitemap: https://example.test/sitemap.xml
+        |User-agent: *
+        |Disallow: /private/
+        |""".stripMargin
+    val graft = RobotsTxt.parse("example.test", withSitemap, userAgent = "graftbot")
+    assert(graft.disallow == Seq("/private/"),
+      s"Sitemap line split the group: ${graft.disallow}")
   }
 
   test("site Crawl-delay floors the politeness plan for its host only") {
