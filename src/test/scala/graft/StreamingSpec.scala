@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frontier dedup evicts state past the watermark: rediscovery re-admits (recrawl-after-TTL)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val cands = input.toDF().toDF("url_hash", "url", "host", "ts")
+    val q = Streams.frontierDedup(cands, watermark = "10 minutes").writeStream
+      .format("memory").queryName("frontier_ttl").outputMode("append").start()
+    try {
+      def row(h: Long, t: String) =
+        (h, s"http://a.test/$h", "a.test", java.sql.Timestamp.valueOf(t))
+      input.addData(row(1, "2026-01-01 00:00:00"))
+      q.processAllAvailable()
+      // push the watermark far past key 1's horizon, then rediscover it
+      input.addData(row(2, "2026-01-01 01:00:00"))
+      q.processAllAvailable()
+      input.addData(row(1, "2026-01-01 01:00:01"))
+      q.processAllAvailable()
+      val ones = spark.table("frontier_ttl")
+        .filter(org.apache.spark.sql.functions.col("url_hash") === 1).count()
+      assert(ones == 2, s"expected TTL re-admission of key 1 (got $ones occurrence(s))")
+    } finally q.stop()
+  }
+
   test("streaming per-host admissions: tumbling-window counts over the deduped stream") {
     val spark = TestSpark.spark
     import spark.implicits._
