@@ -41,6 +41,7 @@ object SparkEntry {
     "q22_dedup_exact"         -> (TrainingData.q22DedupExact _),
     "q23_minhash_lsh"         -> (TrainingData.q23MinhashLsh _),
     "q24_jaccard_pairs"       -> (TrainingData.q24JaccardPairs _),
+    "q24b_jaccard_cutoff"     -> ((s, d) => TrainingData.q24bJaccardCutoff(s, d)),
     "q25_simhash"             -> (TrainingData.q25Simhash _),
     "q26_cosine_topk"         -> (TrainingData.q26CosineTopk _),
     "q27_ann_ivf"             -> (TrainingData.q27AnnIvf _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q21_crawl_order"      -> CrawlQueries.q21Sql,
     "q22_dedup_exact"     -> TrainingData.q22Sql,
     "q24_jaccard_pairs"   -> TrainingData.q24Sql,
+    "q24b_jaccard_cutoff" -> TrainingData.q24bSql,
     "q26_cosine_topk"     -> TrainingData.q26Sql,
     "q28_lang_id"         -> TrainingData.q28Sql,
     "q29_quality_score"   -> TrainingData.q29Sql,

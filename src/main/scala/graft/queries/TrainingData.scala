@@ -183,6 +183,67 @@ object TrainingData {
       |  GROUP BY a.doc_id, b.doc_id, a.nw, b.nw)
       |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Rare-word Jaccard — q24's skew-safe twin (VERDICT r01 "What's wrong"
+    * #2): words appearing in more than `dfMax` documents of a (lang,
+    * source) group are dropped BEFORE the self-join, which removes the
+    * hot-key quadratic blow-up (a stop word pairing every doc with every
+    * doc) while keeping the similarity exact over the discriminative
+    * vocabulary — the standard frequency-cutoff trick for all-pairs
+    * similarity (cf. prefix filtering). */
+  def q24bJaccardCutoff(spark: SparkSession, dir: String, dfMax: Int = 20): DataFrame = {
+    val ex0 = docs(spark, dir)
+      .withColumn("words", expr("array_distinct(split(lower(text), '\\\\s+'))"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(col("words")).as("word"))
+    // document frequency per (lang, source, word); words are distinct per
+    // doc so count(*) IS the doc frequency — one map-side-combining agg
+    val rare = ex0.groupBy("lang", "source", "word")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfMax)
+      .select("lang", "source", "word")
+    val ex = ex0.join(rare, Seq("lang", "source", "word"), "left_semi")
+    val nw = ex.groupBy("doc_id", "lang", "source").agg(count(lit(1)).as("nw"))
+    val exN = ex.join(nw, Seq("doc_id", "lang", "source"))
+    val a = exN.select(col("lang"), col("source"), col("word"),
+      col("doc_id").as("doc_a"), col("nw").as("nw_a"))
+    val b = exN.select(col("lang"), col("source"), col("word"),
+      col("doc_id").as("doc_b"), col("nw").as("nw_b"))
+    a.join(b, Seq("lang", "source", "word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nw_a"), col("nw_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("nw_a") + col("nw_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q24bSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split_regex(lower(text), '\s+')) AS words
+      |  FROM documents),
+      |ex0 AS (
+      |  SELECT doc_id, lang, source, UNNEST(words) AS word FROM d),
+      |rare AS (
+      |  SELECT lang, source, word FROM ex0
+      |  GROUP BY lang, source, word HAVING COUNT(*) <= 20),
+      |ex AS (
+      |  SELECT ex0.* FROM ex0 SEMI JOIN rare
+      |    ON ex0.lang = rare.lang AND ex0.source = rare.source AND ex0.word = rare.word),
+      |nw AS (
+      |  SELECT doc_id, lang, source, COUNT(*) AS nw FROM ex GROUP BY 1, 2, 3),
+      |exn AS (
+      |  SELECT ex.doc_id, ex.lang, ex.source, ex.word, nw.nw FROM ex
+      |  JOIN nw ON ex.doc_id = nw.doc_id AND ex.lang = nw.lang AND ex.source = nw.source)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    ROUND(COUNT(*) / (a.nw + b.nw - COUNT(*)), 4) AS jaccard
+      |  FROM exn a JOIN exn b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nw, b.nw)
+      |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------- similarity search
 
   private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
