@@ -35,10 +35,22 @@ final case class CrawlConfig(
       * distributed merge, never collected whole) and candidates dedup in
       * `bloomSlices` hash-range slices, so peak driver/executor index
       * memory is |index|/slices — the 10^10-seen-key path. Must divide
-      * bloomBuckets. 1 = driver-broadcast regime (right up to ~10^9). */
-    bloomSlices: Int = 1) {
+      * bloomBuckets. 1 = driver-broadcast regime (right up to ~10^9),
+      * with an AUTOMATIC flip to the sliced regime the first time the
+      * standing block map exceeds `maxBroadcastBytes` — a crawl that
+      * outgrows the driver switches without intervention (the sliced
+      * side rebuilds its table-resident index from the seen set once,
+      * the same tested path as any stale-index resume). */
+    bloomSlices: Int = 1,
+    maxBroadcastBytes: Long = 512L * 1024 * 1024) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
+  /** Slice count once the auto-flip triggers: the largest divisor of
+    * bloomBuckets ≤ 8 (at least 2 — a 1-slice "sliced" regime would
+    * still collect the whole index). */
+  def autoSlices: Int =
+    (2 to math.min(8, bloomBuckets)).filter(bloomBuckets % _ == 0)
+      .lastOption.getOrElse(1)
 }
 
 final case class RunStats(
@@ -107,6 +119,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // per micro-run instead of rebuilding over the whole seen history
   private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
   private var lastBloomCommitRun: Long = -1L
+  // true once the sliced (beyond-broadcast) regime governs dedup + index
+  // maintenance — either configured up front or auto-flipped when the
+  // broadcast block map outgrew cfg.maxBroadcastBytes
+  private var slicedActive: Boolean = cfg.bloomSlices > 1
+  private def sliceCount: Int =
+    if (cfg.bloomSlices > 1) cfg.bloomSlices else cfg.autoSlices
 
   def currentDelayMs: Double = pol.clampedDelay
 
@@ -184,14 +202,23 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     case None => (df, () => ())
     case Some(seen) if !cfg.useBloom =>
       (BloomDedup.dedup(df, seen, None, cfg.bloomBuckets), () => ())
-    case Some(seen) if cfg.bloomSlices <= 1 =>
+    case Some(seen) if !slicedActive &&
+        { // broadcast regime while the standing map fits the budget;
+          // outgrowing it flips to the sliced regime permanently (the
+          // sliced side rebuilds its table-resident index from the seen
+          // set — the same tested stale-index path)
+          val blocks = loadBloomBlocks(seen)
+          val fits = blocks.valuesIterator.map(_.length.toLong).sum <= cfg.maxBroadcastBytes
+          if (!fits) { slicedActive = true; bloomBlocks = None }
+          fits
+        } =>
       (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets), () => ())
     case Some(seen) =>
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
-        cfg.bloomBuckets, cfg.bloomSlices) { (_, out) =>
+        cfg.bloomBuckets, sliceCount) { (_, out) =>
         // localCheckpoint (eager), NOT persist: a persisted frame keeps the
         // slice's (destroyed) broadcast in its recompute lineage and later
         // consumers fail task serialization; checkpointing truncates the
@@ -424,7 +451,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // probe scan via the pushed IN(bucket, ...) filter — see dedupSliced)
     val logRows = results.drop("body").withColumn("run", lit(runId))
       .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
-    if (cfg.bloomSlices > 1)
+    if (slicedActive)
       fetchlog.commit(logRows.repartition(cfg.bloomBuckets, col("bucket")),
         baseMetrics, Some("seq"))
     else
@@ -436,7 +463,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // O(batch) and zero extra jobs; checkpointed to the bloomidx table
     // every `bloomCommitEvery` runs — a crash between checkpoints costs
     // the (tested) rebuild, never correctness
-    if (cfg.useBloom && cfg.bloomSlices > 1) {
+    if (cfg.useBloom && slicedActive) {
       // sliced regime: append this run's blocks as index rows (distributed
       // build, merged per bucket at read time); compact every K runs
       val runIdx = BloomDedup.buildIndex(results.select("url_hash"), cfg.bloomBuckets)
@@ -453,8 +480,16 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
       val merged = BloomDedup.addHashes(
         bloomBlocks.getOrElse(Map.empty), runHashes, cfg.bloomBuckets)
-      bloomBlocks = Some(merged)
-      if (runId % cfg.bloomCommitEvery == 0) commitBloom(merged, runId)
+      if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
+        // the standing map just outgrew the broadcast budget: flip to the
+        // sliced regime from the next run on (its index rebuilds from the
+        // seen set — the tested stale-index path) and drop the map
+        slicedActive = true
+        bloomBlocks = None
+      } else {
+        bloomBlocks = Some(merged)
+        if (runId % cfg.bloomCommitEvery == 0) commitBloom(merged, runId)
+      }
     }
 
     // pending compaction: fold appends-minus-attempts into a fresh base so
@@ -494,7 +529,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       }
     }
     val logHead = fetchlog.latestSnapshot.getOrElse(0L)
-    if (cfg.useBloom && cfg.bloomSlices <= 1 && lastBloomCommitRun != logHead)
+    if (cfg.useBloom && !slicedActive && lastBloomCommitRun != logHead)
       bloomBlocks.foreach(commitBloom(_, logHead))
     out.toSeq
   }

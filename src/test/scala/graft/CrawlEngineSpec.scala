@@ -188,6 +188,26 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(e2.fetchlog.read().get.count() == before, "sliced resume refetched")
   }
 
+  test("auto-flip: outgrowing the broadcast budget switches to the sliced regime mid-crawl, state still exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-autoflip").toString
+    // a budget every real block map exceeds (one block is ~78KB) forces
+    // the flip on the first maintenance pass; the rest of the crawl runs
+    // in the sliced regime and must still match the oracle's seen set
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    e.crawlAll()
+    assert(e.seenSet() == engine.seenSet(), "auto-flip diverged the seen set")
+    // evidence the sliced bookkeeping took over: bloomidx commits carry
+    // covers markers (broadcast-mode checkpoints never do)
+    assert(e.bloomidx.latestCovers.nonEmpty,
+      "no covers-marked bloomidx commit — the flip never happened")
+  }
+
   test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {
     val root = Files.createTempDirectory("crawl-stalebloom").toString
     // bloomCommitEvery = 1 so run 2 definitely checkpointed the index —
