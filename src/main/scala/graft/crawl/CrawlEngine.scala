@@ -47,10 +47,13 @@ final case class CrawlConfig(
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   /** Slice count once the auto-flip triggers: the largest divisor of
     * bloomBuckets ≤ 8 (at least 2 — a 1-slice "sliced" regime would
-    * still collect the whole index). */
+    * still collect the whole index). When bloomBuckets has no divisor in
+    * [2,8] (e.g. a prime count) every bucket becomes its own slice —
+    * falling back to 1 would silently reinstate the broadcast memory
+    * bound the flip exists to escape. */
   def autoSlices: Int =
     (2 to math.min(8, bloomBuckets)).filter(bloomBuckets % _ == 0)
-      .lastOption.getOrElse(1)
+      .lastOption.getOrElse(bloomBuckets)
 }
 
 final case class RunStats(
@@ -120,11 +123,37 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
   private var lastBloomCommitRun: Long = -1L
   // true once the sliced (beyond-broadcast) regime governs dedup + index
-  // maintenance — either configured up front or auto-flipped when the
-  // broadcast block map outgrew cfg.maxBroadcastBytes
-  private var slicedActive: Boolean = cfg.bloomSlices > 1
+  // maintenance — configured up front, auto-flipped when the broadcast
+  // block map outgrows cfg.maxBroadcastBytes, or DETECTED FROM DURABLE
+  // STATE: only sliced-regime bloomidx commits carry a covers marker, so
+  // a fresh engine resuming a flipped root goes straight to the sliced
+  // path instead of re-entering the broadcast guard and pulling the full
+  // index onto the driver (a driver OOM at the scale that caused the flip)
+  private var slicedActive: Boolean =
+    cfg.bloomSlices > 1 || (cfg.useBloom && bloomidx.latestCovers.nonEmpty)
   private def sliceCount: Int =
     if (cfg.bloomSlices > 1) cfg.bloomSlices else cfg.autoSlices
+
+  /** Which dedup regime governs (test/observability hook). */
+  def slicedRegimeActive: Boolean = slicedActive
+
+  /** Flip broadcast → sliced, CARRYING the already-correct in-memory
+    * block map into the bloomidx table as the sliced regime's initial
+    * base — the flip costs one O(blocks) write, not an O(seen-set) index
+    * rebuild (a multi-minute stall at the ~10^9-key flip point). The
+    * carried blocks cover the current fetchlog head in every caller:
+    * loadBloomBlocks validated (or rebuilt) them against it, and the
+    * post-run maintenance folds the just-committed run's hashes in
+    * before flipping. */
+  private def flipToSliced(blocks: Map[Int, Array[Byte]]): Unit = {
+    val head = fetchlog.latestSnapshot.getOrElse(0L)
+    bloomidx.commitBase(
+      blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
+        .toDF("bucket", "bloom", "fetchlog_snapshot"),
+      Map("carried" -> 1.0), covers = Some(head), coalesceTo = 1)
+    slicedActive = true
+    bloomBlocks = None
+  }
 
   def currentDelayMs: Double = pol.clampedDelay
 
@@ -204,12 +233,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       (BloomDedup.dedup(df, seen, None, cfg.bloomBuckets), () => ())
     case Some(seen) if !slicedActive &&
         { // broadcast regime while the standing map fits the budget;
-          // outgrowing it flips to the sliced regime permanently (the
-          // sliced side rebuilds its table-resident index from the seen
-          // set — the same tested stale-index path)
+          // outgrowing it flips to the sliced regime permanently, with
+          // the standing blocks carried into the table (no rebuild)
           val blocks = loadBloomBlocks(seen)
           val fits = blocks.valuesIterator.map(_.length.toLong).sum <= cfg.maxBroadcastBytes
-          if (!fits) { slicedActive = true; bloomBlocks = None }
+          if (!fits) flipToSliced(blocks)
           fits
         } =>
       (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets), () => ())
@@ -308,20 +336,25 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // (fpds_high_performance.py:292-313 `_update_progress` analogue) —
     // no separate counting job over the results
     val obs = new org.apache.spark.sql.Observation(s"fetch-${System.nanoTime()}")
+    val baseAggs = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"),
+      // total outlinks on fetched pages, counted in the same pass the
+      // bodies are already in cache for — no separate links.count() job
+      coalesce(sum(when(col("status") === 200,
+        size(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1))))
+        .otherwise(0)).cast("long"), lit(0L)).as("links"))
+    // this run's distinct hashes, for driver-side incremental Bloom
+    // maintenance — BROADCAST REGIME ONLY (micro-run batches are
+    // politeness-budget-bounded, well inside what that regime already
+    // implies the driver can hold). The sliced regime maintains its index
+    // distributively and must not ship every run's hash set to the driver
+    // it exists to keep out of the loop, so the column is simply absent.
+    val aggs =
+      if (cfg.useBloom && !slicedActive) baseAggs :+ collect_set(col("url_hash")).as("hashes")
+      else baseAggs
     val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
-      .observe(obs,
-        count(lit(1)).as("n"),
-        coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"),
-        // total outlinks on fetched pages, counted in the same pass the
-        // bodies are already in cache for — no separate links.count() job
-        coalesce(sum(when(col("status") === 200,
-          size(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1))))
-          .otherwise(0)).cast("long"), lit(0L)).as("links"),
-        // this run's distinct hashes, for driver-side incremental Bloom
-        // maintenance (micro-run batches are politeness-budget-bounded,
-        // well inside what the broadcast-bloom regime already implies the
-        // driver can hold; past that regime use the sliced path)
-        collect_set(col("url_hash")).as("hashes"))
+      .observe(obs, aggs.head, aggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     results.count() // materializes the cache once; completes the observation
     val observed = obs.get
@@ -482,10 +515,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         bloomBlocks.getOrElse(Map.empty), runHashes, cfg.bloomBuckets)
       if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
         // the standing map just outgrew the broadcast budget: flip to the
-        // sliced regime from the next run on (its index rebuilds from the
-        // seen set — the tested stale-index path) and drop the map
-        slicedActive = true
-        bloomBlocks = None
+        // sliced regime from the next run on, carrying the map (which now
+        // covers the just-committed run) into the table as the initial base
+        flipToSliced(merged)
       } else {
         bloomBlocks = Some(merged)
         if (runId % cfg.bloomCommitEvery == 0) commitBloom(merged, runId)

@@ -130,7 +130,8 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 2 + 4 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 2 + 4 + table.length * 2)
+    bb.putInt(Magic)
     bb.putInt(numBuckets)
     bb.putLong(count)
     bb.putShort(stashFp)
@@ -143,6 +144,10 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
 object CuckooFilter {
   val SlotsPerBucket = 4
   val MaxKicks = 500
+  /** Layout version tag ("CKF2"): the v2 layout inserted count/stash fields
+    * after numBuckets; an untagged (v1) or foreign blob would otherwise
+    * deserialize without error into a shifted, silently-corrupt table. */
+  val Magic = 0x434B4632
 
   /** Capacity with ~95% load headroom. */
   def create(expectedItems: Long): CuckooFilter = {
@@ -153,7 +158,12 @@ object CuckooFilter {
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = bb.getInt
+    require(magic == Magic,
+      f"not a CKF2 cuckoo-filter blob (magic 0x$magic%08x) — stale or foreign bytes must fail loudly, not deserialize shifted")
     val buckets = bb.getInt
+    require(bytes.length == 4 + 4 + 8 + 2 + 4 + buckets * SlotsPerBucket * 2,
+      s"cuckoo blob length ${bytes.length} inconsistent with $buckets buckets")
     val n = bb.getLong
     val sFp = bb.getShort
     val sBucket = bb.getInt

@@ -7,12 +7,16 @@ import graft.model.RobotsRule
   * robots.txt body into one, per the original robots exclusion format:
   * `User-agent` groups, `Disallow` prefixes, `Crawl-delay` seconds).
   *
-  * Group selection follows the standard: the group whose User-agent line
-  * exactly matches `userAgent` (case-insensitive) wins; otherwise the
-  * `*` group; otherwise everything is allowed. Successive User-agent
-  * lines with no rules between them share one group. An empty
-  * `Disallow:` means allow-all and contributes no prefix. Comments
-  * (`#` to end of line) and unknown directives are ignored.
+  * Group selection follows RFC 9309 §2.2.1: user agents match on their
+  * PRODUCT TOKEN (the part before any `/version`), case-insensitively,
+  * and when several groups match the same agent their rules are MERGED —
+  * disallow lists union, Crawl-delay takes the max (the conservative
+  * fold). Only when no group matches does the `*` group apply (itself
+  * merged across all `*` groups); otherwise everything is allowed.
+  * Successive User-agent lines with no rules between them share one
+  * group. An empty `Disallow:` means allow-all and contributes no
+  * prefix. Comments (`#` to end of line) and unknown directives are
+  * ignored.
   */
 object RobotsTxt {
 
@@ -61,11 +65,16 @@ object RobotsTxt {
     }
     flush()
 
-    val ua = userAgent.toLowerCase
-    val chosen = groups.find(_.agents.contains(ua))
-      .orElse(groups.find(_.agents.contains("*")))
+    // RFC 9309: compare product tokens (strip any /version suffix),
+    // case-insensitive; merge ALL matching groups (union disallow, max
+    // Crawl-delay). `*` groups apply only when no named group matched.
+    def token(s: String): String = s.trim.toLowerCase.takeWhile(c => c != '/' && c != ' ')
+    val uaTok = token(userAgent)
+    val named = groups.filter(_.agents.exists(a => a != "*" && token(a) == uaTok)).toSeq
+    val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*")).toSeq
+    val delays = chosen.flatMap(_.crawlDelaySec)
     RobotsRule(host,
-      chosen.map(_.disallow).getOrElse(Seq.empty),
-      chosen.flatMap(_.crawlDelaySec).map(_ * 1000.0))
+      chosen.flatMap(_.disallow).distinct,
+      if (delays.isEmpty) None else Some(delays.max * 1000.0))
   }
 }

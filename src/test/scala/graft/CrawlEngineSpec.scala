@@ -206,6 +206,26 @@ class CrawlEngineSpec extends AnyFunSuite {
     // covers markers (broadcast-mode checkpoints never do)
     assert(e.bloomidx.latestCovers.nonEmpty,
       "no covers-marked bloomidx commit — the flip never happened")
+    // the flip CARRIES the standing broadcast-regime blocks into the
+    // table — no commit in the bloomidx history may be an O(seen) rebuild
+    val manifests = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "bloomidx", "commits")).iterator()
+    val texts = scala.jdk.CollectionConverters.IteratorHasAsScala(manifests).asScala
+      .map(p => new String(java.nio.file.Files.readAllBytes(p))).toSeq
+    assert(texts.exists(_.contains("\"carried\"")), "no carried-blocks base commit")
+    assert(!texts.exists(_.contains("\"rebuild\"")),
+      "flip fell back to the O(seen) index rebuild instead of carrying blocks")
+    // a FRESH engine on the flipped root must detect the regime from
+    // durable state (covers marker) — not re-enter the broadcast guard
+    // and collect the full index onto the driver
+    val resumed = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L),
+      new SyntheticFetcher(webCfg), web.robots)
+    assert(resumed.slicedRegimeActive,
+      "resume on a flipped root re-entered the broadcast regime")
+    resumed.crawlAll() // drained: must not refetch or diverge
+    assert(resumed.seenSet() == engine.seenSet(), "flipped-root resume diverged")
   }
 
   test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {

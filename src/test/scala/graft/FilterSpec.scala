@@ -33,6 +33,18 @@ class FilterSpec extends AnyFunSuite {
     assert(back.size == cf.size - 1, "delete after round-trip miscounts")
   }
 
+  test("cuckoo: stale/foreign blobs fail loudly (layout version tag)") {
+    val cf = CuckooFilter.create(64)
+    (1L to 32L).foreach(cf.insert)
+    val good = cf.serialize()
+    // a v1-layout blob (no magic: starts with numBuckets) must be refused,
+    // not deserialized 4 bytes shifted into a silently-corrupt table
+    val legacy = good.drop(4)
+    intercept[IllegalArgumentException](CuckooFilter.deserialize(legacy))
+    // truncation is refused too
+    intercept[IllegalArgumentException](CuckooFilter.deserialize(good.dropRight(2)))
+  }
+
   test("cuckoo: no false negatives at high load (eviction-chain exhaustion path)") {
     // Tiny filter driven far past its comfortable load factor: every insert
     // that REPORTS success must remain a member — including keys displaced

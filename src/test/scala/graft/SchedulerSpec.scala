@@ -64,6 +64,36 @@ class SchedulerSpec extends AnyFunSuite {
       s"Sitemap line split the group: ${graft.disallow}")
   }
 
+  test("robots.txt RFC 9309: same-agent groups merge, product tokens match, max crawl-delay wins") {
+    val txt =
+      """User-agent: bot
+        |Disallow: /a/
+        |Crawl-delay: 1
+        |
+        |User-agent: other
+        |Disallow: /x/
+        |
+        |User-agent: bot
+        |Disallow: /b/
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Disallow: /star/
+        |""".stripMargin
+    // two `User-agent: bot` groups MERGE: union of disallows, max delay
+    val merged = RobotsTxt.parse("example.test", txt, userAgent = "bot")
+    assert(merged.disallow.toSet == Set("/a/", "/b/"),
+      s"same-agent groups not merged: ${merged.disallow}")
+    assert(merged.crawlDelayMs.contains(3000.0), "max Crawl-delay must win")
+    // a `bot/1.2` product token still matches the `bot` groups
+    val versioned = RobotsTxt.parse("example.test", txt, userAgent = "Bot/1.2")
+    assert(versioned.disallow.toSet == Set("/a/", "/b/"),
+      s"product-token match failed: ${versioned.disallow}")
+    // unmatched agents fall back to the merged `*` groups
+    val star = RobotsTxt.parse("example.test", txt, userAgent = "nobody")
+    assert(star.disallow == Seq("/star/"))
+  }
+
   test("site Crawl-delay floors the politeness plan for its host only") {
     val spark = TestSpark.spark
     import spark.implicits._
