@@ -221,12 +221,17 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   /** Anti-join `df` against the URL-seen set; exact either way.
     * Returns the result plus a cleanup thunk the caller runs once done.
     *
-    *  - broadcast regime (bloomSlices = 1): Bloom prefilter from the
-    *    driver-held block map + conditional exact probe — lazy, no
-    *    cleanup;
-    *  - sliced regime: each hash-range slice is dedup'd as its own action
-    *    (its blocks broadcast, used, destroyed) and cached; the returned
-    *    frame unions the cached slices, and cleanup unpersists them. */
+    * Both Bloom regimes route the exact probe through the SCAN-PROBE
+    * plan (BloomDedup.dedupScan): the Bloom verdicts checkpoint eagerly,
+    * survivors broadcast, and the seen side is a column-pruned,
+    * bucket-partition-pruned SCAN — never shuffled. Per-run dedup cost
+    * stops scaling with the shuffle of crawl history (VERDICT r02 #1).
+    *
+    *  - broadcast regime (bloomSlices = 1): one scan-probe over the
+    *    driver-held block map;
+    *  - sliced regime: each hash-range slice's blocks broadcast, used for
+    *    its checkpoint, destroyed (peak index memory |index|/slices); the
+    *    slices' lazy probe frames union into one consumable result. */
   private def dedupVsSeen(df: DataFrame): (DataFrame, () => Unit) = seenKeys match {
     case None => (df, () => ())
     case Some(seen) if !cfg.useBloom =>
@@ -240,26 +245,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           if (!fits) flipToSliced(blocks)
           fits
         } =>
-      (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets), () => ())
+      BloomDedup.dedupScan(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
     case Some(seen) =>
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
-        cfg.bloomBuckets, sliceCount) { (_, out) =>
-        // localCheckpoint (eager), NOT persist: a persisted frame keeps the
-        // slice's (destroyed) broadcast in its recompute lineage and later
-        // consumers fail task serialization; checkpointing truncates the
-        // lineage so the broadcast is genuinely done. (On a real cluster
-        // the hardened variant writes each slice straight to the commit
-        // dir — same structure, durable storage.)
-        parts += out.localCheckpoint()
-      }
-      // the checkpointed slice blocks pin executor memory/disk until GC;
-      // the cleanup thunk releases exactly the RDDs this call created
-      val created = sc.getPersistentRDDs.keySet -- before
-      val cleanup = () => created.foreach { id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      val cleanup = BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
+        cfg.bloomBuckets, sliceCount, scanProbe = true) { (_, out) =>
+        parts += out
       }
       (parts.reduce(_.unionByName(_)), cleanup)
   }
@@ -478,18 +469,21 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "dedup_dropped" -> (totalLinks - nNewCand).toDouble,
       "delay_ms" -> pol.clampedDelay)
 
-    // completion marker — LAST (see class doc). Rows carry a materialized
-    // `bucket` column; in the sliced regime the write is bucket-clustered
-    // (repartition by bucket → file/row-group stats prune each slice's
-    // probe scan via the pushed IN(bucket, ...) filter — see dedupSliced)
+    // completion marker — LAST (see class doc). The write is PARTITIONED
+    // by the hash-range bucket (`data/commit-N/bucket=K/`), so both the
+    // sliced regime's per-slice seen reads and the scan-probe's
+    // touched-bucket restriction prune at the PARTITION level — the
+    // dedup probe never lists or scans files outside its buckets. Cost:
+    // bloomBuckets files per micro-run (bounded; at cluster scale the
+    // batch is large enough that per-bucket files are full-size anyway).
     val logRows = results.drop("body").withColumn("run", lit(runId))
       .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
     if (slicedActive)
       fetchlog.commit(logRows.repartition(cfg.bloomBuckets, col("bucket")),
-        baseMetrics, Some("seq"))
+        baseMetrics, Some("seq"), partitionBy = Seq("bucket"))
     else
       fetchlog.commit(logRows, baseMetrics, Some("seq"),
-        coalesceTo = (nScheduled / 50000 + 1).toInt)
+        coalesceTo = (nScheduled / 50000 + 1).toInt, partitionBy = Seq("bucket"))
 
     // incremental Bloom maintenance: hash only THIS run's urls (already on
     // the driver from the fetch observation) into the standing blocks —

@@ -126,24 +126,36 @@ object BloomDedup {
     * to the matching partitions when the seen table is bucket-partitioned
     * on disk.
     *
-    * Each slice is driven as its OWN action via `each` (results must be
-    * consumed — written or counted — before the next slice starts), and
-    * its broadcast is destroyed afterwards; returning one lazily-unioned
-    * DataFrame would pin every slice's broadcast simultaneously and
-    * silently reintroduce the full-index memory bound.
+    * Legacy mode (`scanProbe = false`): each slice is driven as its OWN
+    * action via `each` (results must be consumed — written or counted —
+    * before the next slice starts), and its broadcast is destroyed
+    * afterwards; returning one lazily-unioned DataFrame would pin every
+    * slice's broadcast simultaneously and silently reintroduce the
+    * full-index memory bound.
+    *
+    * `scanProbe = true` routes each slice through [[dedupScan]]: the
+    * slice's Bloom verdicts are checkpointed eagerly and its block
+    * broadcast destroyed INSIDE the loop (the memory bound holds the same
+    * way), but the exact probes — a partition-pruned scan per slice, no
+    * shuffle of the seen side — stay lazy, so `each` may simply collect
+    * the frames and the caller can consume their union in one action.
+    * The returned thunk releases the slices' checkpoints; run it after
+    * all consumers finish (it is a no-op in legacy mode).
     *
     * `idxRows` may carry multiple block rows per bucket (per-run appends);
     * each slice merges its own buckets distributively before collecting.
     */
   def dedupSliced(candidates: DataFrame, seen: DataFrame, idxRows: DataFrame,
-                  numBuckets: Int, numSlices: Int)(each: (Int, DataFrame) => Unit): Unit = {
+                  numBuckets: Int, numSlices: Int, scanProbe: Boolean = false,
+                  maxProbeBroadcastRows: Long = 4L << 20)
+                 (each: (Int, DataFrame) => Unit): () => Unit = {
     require(numSlices >= 1 && numBuckets % numSlices == 0,
       s"numSlices $numSlices must divide numBuckets $numBuckets")
     val bucketOf = (df: DataFrame) => pmod(col("url_hash"), lit(numBuckets)).cast("int")
+    val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     var s = 0
     while (s < numSlices) {
       val sliceIdx = mergeIndex(idxRows.filter(pmod(col("bucket"), lit(numSlices)) === s))
-      val blocks = collectBlocks(sliceIdx)
       val candS = candidates.filter(pmod(bucketOf(candidates), lit(numSlices)) === s)
       // when the seen table carries a materialized `bucket` column, the
       // slice restriction becomes a plain IN over concrete values — a
@@ -158,12 +170,99 @@ object BloomDedup {
           seen.filter(col("bucket").isNull || col("bucket")
             .isin((s until numBuckets by numSlices).map(Integer.valueOf): _*))
         else seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
-      val (out, bc) = dedupCore(candS, seenS, blocks, numBuckets)
-      try each(s, out)
-      finally bc.destroy()
+      if (scanProbe) {
+        val blocks = collectBlocks(sliceIdx)
+        val (out, cleanup) = dedupScan(candS, seenS, blocks, numBuckets, maxProbeBroadcastRows)
+        cleanups += cleanup
+        each(s, out)
+      } else {
+        val blocks = collectBlocks(sliceIdx)
+        val (out, bc) = dedupCore(candS, seenS, blocks, numBuckets)
+        try each(s, out)
+        finally bc.destroy()
+      }
       s += 1
     }
+    () => cleanups.foreach(_.apply())
   }
+
+  /** Scan-probe dedup: same contract as [[dedupWithBlocks]], but the
+    * exact probe never SHUFFLES the O(crawl-history) seen side — the last
+    * per-run term that scaled with history in the 10^10 path (VERDICT r02
+    * "What's wrong" #2):
+    *
+    *   1. the Bloom verdict is materialized ONCE for every candidate
+    *      (`localCheckpoint`, eager) and the block broadcast destroyed
+    *      immediately — the returned frame is lazily consumable;
+    *   2. survivors (`might contain` — fpp·batch + true dups) are counted;
+    *      zero survivors ⇒ the seen set is NOT TOUCHED at all;
+    *   3. otherwise the survivor keys are BROADCAST and the seen side is
+    *      semi-joined against them: a pure column-pruned sequential scan
+    *      (+ partition pruning to the survivors' buckets when the seen
+    *      table is bucket-partitioned on disk), no shuffle, no sort;
+    *   4. the confirmed-duplicate keys (≤ survivors) broadcast back into
+    *      a hash anti-join against the checkpointed candidates.
+    *
+    * Per-run dedup cost is then batch-work + one narrow scan whose bytes
+    * partition pruning bounds — the seen set is never exchanged. Past
+    * `maxProbeBroadcastRows` survivors the probe falls back to the
+    * conditional shuffle anti-join (correct at any size, just costlier).
+    *
+    * Returns the result plus a cleanup thunk (releases the internal
+    * checkpoint) to run once every consumer is done. */
+  def dedupScan(candidates: DataFrame, seen: DataFrame, blocks: Map[Int, Array[Byte]],
+                numBuckets: Int, maxProbeBroadcastRows: Long = 4L << 20)
+      : (DataFrame, () => Unit) = {
+    val spark = candidates.sparkSession
+    val sc = spark.sparkContext
+    val outCols = candidates.columns.map(col)
+    val epoch = new java.security.SecureRandom().nextLong()
+    val bc = sc.broadcast(blocks)
+    val before = sc.getPersistentRDDs.keySet
+    val flagged = candidates.withColumn("__maybe",
+      graft.functions.BloomMightContain(epoch, bc,
+        pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
+      .localCheckpoint()
+    bc.destroy()
+    val created = sc.getPersistentRDDs.keySet -- before
+    val cleanup = () => created.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    val maybeKeys = flagged.filter(col("__maybe")).select("url_hash")
+    val nMaybe = maybeKeys.count() // cheap: counts the checkpointed frame
+    val out =
+      if (nMaybe == 0) flagged.select(outCols: _*)
+      else if (nMaybe <= maxProbeBroadcastRows) {
+        val dups = prunedSeenKeys(seen, maybeKeys, numBuckets)
+          .join(broadcast(maybeKeys), Seq("url_hash"), "left_semi")
+        flagged.join(broadcast(dups), Seq("url_hash"), "left_anti").select(outCols: _*)
+      } else {
+        val seenK = seen.select(col("url_hash").as("__seen_hash"))
+        flagged.join(seenK,
+            col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
+          .select(outCols: _*)
+      }
+    (out, cleanup)
+  }
+
+  /** Restrict the seen-key scan to the buckets the survivors touch — a
+    * plain `IN` over concrete bucket values, which becomes PARTITION
+    * pruning when the table is bucket-partitioned on disk (and row-group
+    * stats pruning when merely bucket-clustered). Null-bucket rows
+    * (pre-upgrade commits) are always included — dropping them would let
+    * their already-seen URLs re-enter as new. */
+  private def prunedSeenKeys(seen: DataFrame, maybeKeys: DataFrame,
+                             numBuckets: Int): DataFrame =
+    if (!seen.columns.contains("bucket")) seen.select("url_hash")
+    else {
+      val touched = maybeKeys
+        .select(pmod(col("url_hash"), lit(numBuckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (touched.length >= numBuckets) seen.select("url_hash")
+      else seen.filter(col("bucket").isNull ||
+          col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .select("url_hash")
+    }
 
   /** Candidates NOT in the seen set. `candidates` must carry `url_hash`;
     * rows are returned with their original columns. */

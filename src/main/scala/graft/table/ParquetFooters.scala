@@ -33,14 +33,16 @@ object ParquetFooters {
 
   private val conf = new Configuration()
 
-  /** Stats for every part-file under `dir`, sorted by file name. */
+  /** Stats for every part-file under `dir` — RECURSIVE, so Hive-style
+    * partitioned commits (`bucket=K/part-*.parquet`) get per-file lineage
+    * too. Sorted by path relative to `dir`. */
   def stats(dir: Path, seqCol: Option[String]): Seq[FileStats] = {
     if (!Files.isDirectory(dir)) return Seq.empty
-    val stream = Files.list(dir)
+    val stream = Files.walk(dir)
     val parts =
       try stream.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       finally stream.close()
-    parts.sortBy(_.getFileName.toString).map(p => fileStats(p, seqCol))
+    parts.sortBy(p => dir.relativize(p).toString).map(p => fileStats(p, seqCol))
   }
 
   private def fileStats(p: Path, seqCol: Option[String]): FileStats = {

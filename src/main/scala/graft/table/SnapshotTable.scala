@@ -56,6 +56,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private val KindRe = "\"kind\":\"([a-z]+)\"".r
   private val CoversRe = "\"covers\":(-?[0-9]+)".r
   private val HasDeletesRe = "\"delete_dir\":".r
+  private val PartitionByRe = "\"partition_by\":\\[([^\\]]*)\\]".r
 
   /** Ids of committed snapshots, ascending. */
   def snapshots: Seq[Long] = {
@@ -86,8 +87,33 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * latest commit carries no marker). */
   def latestCovers: Option[Long] = latestSnapshot.flatMap(coversOf)
 
+  /** Hive-style partition columns of snapshot `n`'s data layout (empty =
+    * flat). */
+  def partitionSchemeOf(n: Long): Seq[String] =
+    PartitionByRe.findFirstMatchIn(manifestText(n))
+      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** The table's partition layout (from the latest commit; empty = flat).
+    * Spark cannot union flat and `col=value/` dirs in one read, so the
+    * layout is a TABLE property: the first commit fixes it and later
+    * commits follow it regardless of what the caller requests (a resume
+    * on an old flat-layout root keeps writing flat). */
+  def partitionScheme: Seq[String] =
+    latestSnapshot.map(partitionSchemeOf).getOrElse(Seq.empty)
+
   /** Read the table at the latest committed snapshot (None when empty). */
   def read(): Option[DataFrame] = readAt(latestSnapshot.getOrElse(-1L))
+
+  /** One frame over `dirs`: a single multi-path scan for flat layouts;
+    * per-dir scans unioned for partitioned ones (Spark refuses sibling
+    * base paths that each carry `col=value/` subdirs in one scan —
+    * CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning still applies
+    * inside every member scan of the union. */
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (partitionScheme.isEmpty) spark.read.parquet(dirs: _*)
+    else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
 
   /** Read the table as of snapshot `n` (time travel): anchor at the latest
     * base ≤ n, union data dirs in [anchor, n], anti-join delete keys in
@@ -99,7 +125,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val live = ids.filter(_ >= anchor)
     val dataDirs = live.map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
     if (dataDirs.isEmpty) return None
-    val data = spark.read.parquet(dataDirs: _*)
+    val data = readDirs(dataDirs)
     val delDirs = live.filter(_ > anchor)
       .filter(id => HasDeletesRe.findFirstIn(manifestText(id)).isDefined)
       .map(deleteDir).filter(Files.isDirectory(_)).map(_.toString)
@@ -112,8 +138,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Append `df` as a new snapshot; returns the snapshot id (compat API). */
   def commit(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
-             coalesceTo: Int = 0): Long =
-    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None).id
+             coalesceTo: Int = 0, partitionBy: Seq[String] = Nil): Long =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None,
+      partitionBy = partitionBy).id
 
   /** Append + equality-deletes under ONE manifest (Iceberg v2 delta). */
   def commitDelta(append: DataFrame, deleteKeys: DataFrame, metrics: Map[String, Double],
@@ -123,32 +150,43 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Compaction: rewrite the full table state as a new base snapshot. */
   def commitBase(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
-                 coalesceTo: Int = 0, covers: Option[Long] = None): CommitResult =
-    commitKind(df, metrics, seqCol, coalesceTo, "base", None, covers)
+                 coalesceTo: Int = 0, covers: Option[Long] = None,
+                 partitionBy: Seq[String] = Nil): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "base", None, covers,
+      partitionBy = partitionBy)
 
   /** Append, returning the committed row count (from footers) too.
     * `skipIfEmpty`: when the write turns out to hold 0 rows, reclaim the
     * data dir and commit nothing — keeps micro-run tail commits from
     * growing the table's dir list (each read unions every committed dir). */
   def commitCounted(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String] = None,
-                    coalesceTo: Int = 0, skipIfEmpty: Boolean = false): CommitResult =
-    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None, skipIfEmpty)
+                    coalesceTo: Int = 0, skipIfEmpty: Boolean = false,
+                    partitionBy: Seq[String] = Nil): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, None, skipIfEmpty, partitionBy)
 
   /** Append with a `covers` staleness marker. */
   def commitCovering(df: DataFrame, metrics: Map[String, Double], covers: Long,
                      seqCol: Option[String] = None, coalesceTo: Int = 0,
-                     skipIfEmpty: Boolean = false): CommitResult =
-    commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers), skipIfEmpty)
+                     skipIfEmpty: Boolean = false, partitionBy: Seq[String] = Nil): CommitResult =
+    commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers), skipIfEmpty,
+      partitionBy)
 
   private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
                          coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
-                         covers: Option[Long], skipIfEmpty: Boolean = false): CommitResult = {
+                         covers: Option[Long], skipIfEmpty: Boolean = false,
+                         partitionBy: Seq[String] = Nil): CommitResult = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
+    // the table's existing layout wins over the caller's request — one
+    // read unions every live data dir, and Spark cannot mix flat and
+    // partitioned dirs in a single scan (see partitionScheme)
+    val scheme = if (id == 1L) partitionBy else partitionSchemeOf(latestSnapshot.get)
     val toWrite = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     // "overwrite": a dir at this id can only be a crashed run's orphan
     // (no manifest references it — see class doc), so reclaiming it is safe
-    toWrite.write.mode("overwrite").parquet(out.toString)
+    val writer = toWrite.write.mode("overwrite")
+    if (scheme.nonEmpty) writer.partitionBy(scheme: _*).parquet(out.toString)
+    else writer.parquet(out.toString)
 
     // lineage from the committed files' footers (metadata only — no job)
     val stats = ParquetFooters.stats(out, seqCol)
@@ -171,10 +209,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val metricsJson = (metrics + ("n_rows" -> rows.toDouble)).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
     val coversJson = covers.map(c => s""","covers":$c""").getOrElse("")
+    val partJson =
+      if (scheme.isEmpty) ""
+      else scheme.map(c => s""""$c"""").mkString(""","partition_by":[""", ",", "]")
     val manifest =
       s"""{"snapshot_id":$id,
          |"kind":"$kind",
-         |"data_dir":"${out.toString}"$delDirJson$coversJson,
+         |"data_dir":"${out.toString}"$delDirJson$coversJson$partJson,
          |"committed_at_ms":${System.currentTimeMillis()},
          |"metrics":$metricsJson,
          |"lineage":[${lineage.mkString(",")}]}""".stripMargin
@@ -200,7 +241,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def readBetween(a: Long, b: Long): Option[DataFrame] = {
     val dirs = snapshots.filter(id => id > a && id <= b)
       .map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None else Some(readDirs(dirs))
   }
 
   /** Latest base (compaction) snapshot id ≤ the head, when one exists. */

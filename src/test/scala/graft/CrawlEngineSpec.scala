@@ -171,12 +171,15 @@ class CrawlEngineSpec extends AnyFunSuite {
     val ref = engine.imageTable().get.select("image_id", "phash")
       .as[(String, Long)].collect().toMap
     assert(imgs == ref, "sliced dedup changed the payload table")
-    // the slice restriction must reach the parquet scan as a pushed IN
-    // filter over the materialized bucket column (file/row-group pruning)
+    // the slice restriction must reach the parquet scan as a PARTITION
+    // filter — the fetchlog is bucket-partitioned on disk, so a slice's
+    // seen read prunes whole bucket=K dirs, not just row groups
     val slicePlan = e.fetchlog.read().get
       .filter(org.apache.spark.sql.functions.col("bucket").isin(0, 2, 4, 6))
       .queryExecution.executedPlan.toString
-    assert(slicePlan.contains("In(bucket"), s"bucket IN not pushed:\n$slicePlan")
+    assert(slicePlan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(slicePlan).isDefined,
+      s"bucket restriction not a partition filter:\n$slicePlan")
     // resume inside the sliced regime (fresh engine, same root) drains
     // cleanly without refetching
     val before = e.fetchlog.read().get.count()

@@ -111,6 +111,56 @@ class FilterSpec extends AnyFunSuite {
       .select("url_hash").as[Long].collect()
     assert(got.sorted.toSeq == exact.sorted.toSeq,
       s"sliced dedup diverged: got ${got.size}, exact ${exact.length}")
+
+    // scanProbe mode: per-slice broadcasts still destroyed in-loop, but
+    // the probe frames stay lazy — union them and consume in ONE action
+    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val cleanup = BloomDedup.dedupSliced(cand, seen, idxRows, numBuckets, numSlices,
+      scanProbe = true) { (_, df) => parts += df }
+    val gotScan =
+      try parts.reduce(_.unionByName(_)).select("url_hash").as[Long].collect().sorted.toSeq
+      finally cleanup()
+    assert(gotScan == exact.sorted.toSeq,
+      s"scan-probe sliced dedup diverged: got ${gotScan.size}, exact ${exact.length}")
+  }
+
+  test("scan-probe dedup == exact: broadcast probe, bucket pruning, fallback, zipf multiplicity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val rnd = new scala.util.Random(77)
+    val seenHashes = (1 to 5000).map(_ => rnd.nextLong()).distinct
+    // zipf-ish candidate batch: a hot SEEN key repeated 2000×, a hot NEW
+    // key repeated 500×, plus a mixed tail — left-anti multiplicity (dup
+    // candidate rows stay duplicated) must survive every probe plan
+    val hotSeen = seenHashes.head
+    val hotNew = 424242L
+    val tail = seenHashes.take(800) ++ (1 to 1500).map(_ => rnd.nextLong())
+    val candHashes = Seq.fill(2000)(hotSeen) ++ Seq.fill(500)(hotNew) ++ tail
+    val seen = seenHashes.toDF("url_hash")
+    val cand = candHashes.zipWithIndex.map { case (h, i) => (h, s"u$i") }
+      .toDF("url_hash", "url")
+    val exact = cand.join(seen, Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(exact.size == exact.distinct.size + 499, "zipf setup lost the hot-new dups")
+    val blocks = BloomDedup.collectBlocks(
+      BloomDedup.buildIndex(seen, 16, expectedPerBucket = 1024))
+
+    def run(seenDf: org.apache.spark.sql.DataFrame, maxRows: Long): Seq[Long] = {
+      val (out, cleanup) = BloomDedup.dedupScan(cand, seenDf, blocks, 16, maxRows)
+      try out.select("url_hash").as[Long].collect().sorted.toSeq
+      finally cleanup()
+    }
+    assert(run(seen, 4L << 20) == exact) // broadcast scan-probe
+    assert(run(seen, 1L) == exact)       // shuffle fallback (survivors > cap)
+    // bucket-bearing seen side: the probe prunes to the survivors' buckets
+    val seenB = seen.withColumn("bucket", pmod(col("url_hash"), lit(16)).cast("int"))
+    assert(run(seenB, 4L << 20) == exact)
+    // zero-survivor batch: the seen set must never be probed, result = input
+    val fresh = Seq((111L, "a"), (222L, "b")).toDF("url_hash", "url")
+    val (out0, c0) = BloomDedup.dedupScan(fresh, seen, blocks, 16)
+    try assert(out0.select("url_hash").as[Long].collect().sorted.toSeq == Seq(111L, 222L))
+    finally c0()
   }
 
   test("bloom dedup equals exact anti-join") {

@@ -132,6 +132,46 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout: round-trip, partition pruning, lineage, scheme stickiness") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmpDir())
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, (i % 4).toInt, s"v$i")).toDF("seq", "bucket", "v")
+    t.commit(rows(1, 100), Map.empty, Some("seq"), partitionBy = Seq("bucket"))
+    t.commit(rows(101, 200), Map.empty, Some("seq"), partitionBy = Seq("bucket"))
+    assert(t.partitionScheme == Seq("bucket"))
+    // full read unions both partitioned commits and restores the column
+    val all = t.read().get
+    assert(all.count() == 200)
+    assert(all.columns.contains("bucket"))
+    assert(all.select("seq", "bucket").as[(Long, Int)].collect()
+      .forall { case (s, b) => b == (s % 4).toInt })
+    // a bucket restriction prunes PARTITIONS (not just row groups)
+    val plan = all.filter($"bucket".isin(1, 3)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"no partition filter in:\n$plan")
+    assert(all.filter($"bucket".isin(1, 3)).count() == 100)
+    // footer lineage walked the bucket=K subdirs: counts + seq range intact
+    val l = t.manifests().get.selectExpr("explode(lineage) as l")
+      .selectExpr("sum(l.n_rows) as n", "min(l.min_seq) as mn", "max(l.max_seq) as mx")
+      .collect().head
+    assert(l.getLong(0) == 200L && l.getLong(1) == 1L && l.getLong(2) == 200L)
+    // the layout is a TABLE property: a later commit requesting a
+    // DIFFERENT scheme (or none) still writes the established one —
+    // Spark cannot union flat and partitioned dirs in a single read
+    t.commit(rows(201, 220), Map.empty, Some("seq"))
+    assert(t.partitionScheme == Seq("bucket"))
+    assert(t.read().get.count() == 220)
+    // and a flat table ignores a late partitioning request the same way
+    val flat = new SnapshotTable(spark, tmpDir())
+    flat.commit(rows(1, 10), Map.empty, Some("seq"))
+    flat.commit(rows(11, 20), Map.empty, Some("seq"), partitionBy = Seq("bucket"))
+    assert(flat.partitionScheme.isEmpty)
+    assert(flat.read().get.count() == 20)
+  }
+
   test("manifests expose metrics and per-partition lineage") {
     val spark = TestSpark.spark
     import spark.implicits._
