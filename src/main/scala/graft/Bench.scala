@@ -198,7 +198,10 @@ object Bench {
       name -> secs
     }
 
-    val fetchRate = benchFetchParse(spark, 512L * 1024)
+    // best-of-3 (like e2e below): the single-shot r02 reading regressed
+    // 26% on a line the interleaved protocol puts 10× higher — co-tenant
+    // noise on a time-shared host, not the engine (VERDICT r02 bench note)
+    val fetchRate = Seq.fill(3)(benchFetchParse(spark, 512L * 1024)).max
     val dedupRate = benchDedup(spark, 4L * 1024 * 1024, 2L * 1024 * 1024)
     val imageRate = benchImages(spark, 20000)
     // best-of-3: the sandbox host is time-shared (BENCH.md protocol; e2e

@@ -67,6 +67,7 @@ object SparkEntry {
     "q47_text_search"         -> (Extraction.q47TextSearch _),
     "q48_ivf_nprobe"          -> ((s, d) => TrainingData.q48IvfNprobe(s, d)),
     "q09b_keyed_window"       -> (Extraction.q09bKeyedWindow _),
+    "q49_selector_bootstrap"  -> (Extraction.q49SelectorBootstrap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +123,6 @@ object SparkEntry {
     // q48 (IVF nprobe) is not SQL-expressible → rows-only check; recall vs
     // q26 brute force (and nprobe=K ≡ exact) is pinned in TrainingDataSpec.
     "q09b_keyed_window"     -> Extraction.q09bSql,
+    "q49_selector_bootstrap" -> Extraction.q49Sql,
   )
 }

@@ -208,10 +208,18 @@ object BloomDedup {
     * `maxProbeBroadcastRows` survivors the probe falls back to the
     * conditional shuffle anti-join (correct at any size, just costlier).
     *
+    * `joinKey` generalizes the EXACT identity beyond the 64-bit hash:
+    * candidates must always carry `url_hash` (drives the Bloom test and
+    * bucket pruning), but the probe/anti joins equate on `joinKey` —
+    * e.g. the payload table dedups on the exact `image_id` string with
+    * `url_hash = xxhash64(image_id)` as its prefilter key, so a hash
+    * collision can never drop a genuinely-new row.
+    *
     * Returns the result plus a cleanup thunk (releases the internal
     * checkpoint) to run once every consumer is done. */
   def dedupScan(candidates: DataFrame, seen: DataFrame, blocks: Map[Int, Array[Byte]],
-                numBuckets: Int, maxProbeBroadcastRows: Long = 4L << 20)
+                numBuckets: Int, maxProbeBroadcastRows: Long = 4L << 20,
+                joinKey: String = "url_hash")
       : (DataFrame, () => Unit) = {
     val spark = candidates.sparkSession
     val sc = spark.sparkContext
@@ -228,18 +236,19 @@ object BloomDedup {
     val cleanup = () => created.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }
-    val maybeKeys = flagged.filter(col("__maybe")).select("url_hash")
+    val keyCols = (Seq(joinKey, "url_hash").distinct).map(col)
+    val maybeKeys = flagged.filter(col("__maybe")).select(keyCols: _*)
     val nMaybe = maybeKeys.count() // cheap: counts the checkpointed frame
     val out =
       if (nMaybe == 0) flagged.select(outCols: _*)
       else if (nMaybe <= maxProbeBroadcastRows) {
-        val dups = prunedSeenKeys(seen, maybeKeys, numBuckets)
-          .join(broadcast(maybeKeys), Seq("url_hash"), "left_semi")
-        flagged.join(broadcast(dups), Seq("url_hash"), "left_anti").select(outCols: _*)
+        val dups = prunedSeenKeys(seen, maybeKeys, numBuckets, joinKey)
+          .join(broadcast(maybeKeys.select(joinKey)), Seq(joinKey), "left_semi")
+        flagged.join(broadcast(dups), Seq(joinKey), "left_anti").select(outCols: _*)
       } else {
-        val seenK = seen.select(col("url_hash").as("__seen_hash"))
+        val seenK = seen.select(col(joinKey).as("__seen_key"))
         flagged.join(seenK,
-            col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
+            col(joinKey) === col("__seen_key") && col("__maybe"), "left_anti")
           .select(outCols: _*)
       }
     (out, cleanup)
@@ -252,16 +261,16 @@ object BloomDedup {
     * (pre-upgrade commits) are always included — dropping them would let
     * their already-seen URLs re-enter as new. */
   private def prunedSeenKeys(seen: DataFrame, maybeKeys: DataFrame,
-                             numBuckets: Int): DataFrame =
-    if (!seen.columns.contains("bucket")) seen.select("url_hash")
+                             numBuckets: Int, joinKey: String = "url_hash"): DataFrame =
+    if (!seen.columns.contains("bucket")) seen.select(joinKey)
     else {
       val touched = maybeKeys
         .select(pmod(col("url_hash"), lit(numBuckets)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).sorted
-      if (touched.length >= numBuckets) seen.select("url_hash")
+      if (touched.length >= numBuckets) seen.select(joinKey)
       else seen.filter(col("bucket").isNull ||
           col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-        .select("url_hash")
+        .select(joinKey)
     }
 
   /** Candidates NOT in the seen set. `candidates` must carry `url_hash`;

@@ -195,6 +195,9 @@ object CrawlQueries {
       (-(col("o_orderkey") % 5)).cast("double").as("priority"),
       col("o_orderkey").as("seq"))
     frontier.orderBy(desc("priority"), asc("seq")).limit(100)
+      // partition-less Window is safe ONLY because it runs on the 100-row
+      // post-limit result; on an unbounded input it would single-task the
+      // whole sort — do not copy this shape without the limit upstream
       .withColumn("pos", row_number().over(
         Window.orderBy(desc("priority"), asc("seq"))))
       .select(col("pos"), col("seq"))

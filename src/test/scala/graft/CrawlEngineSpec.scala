@@ -73,6 +73,11 @@ class CrawlEngineSpec extends AnyFunSuite {
   test("payload table matches the oracle: ids, captions byte-equal, phash, PSNR>=40") {
     val spark = TestSpark.spark
     import spark.implicits._
+    // the payload table is id-hash-bucket-partitioned on disk (the dedup
+    // probe's partition pruning), but the PUBLIC schema stays input_hint
+    assert(engine.images.partitionScheme == Seq("bucket"))
+    assert(engine.imageTable().get.columns.toSeq ==
+      Seq("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
     val imgs = engine.imageTable().get
       .select("image_id", "caption", "phash", "bytes", "fmt", "w", "h")
       .as[(String, String, Long, Array[Byte], String, Int, Int)].collect()
@@ -218,6 +223,12 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(texts.exists(_.contains("\"carried\"")), "no carried-blocks base commit")
     assert(!texts.exists(_.contains("\"rebuild\"")),
       "flip fell back to the O(seen) index rebuild instead of carrying blocks")
+    // the 1KB budget also retires the image-id Bloom after the first
+    // payload commit, so this crawl exercises the broadcast-probe
+    // fallback — the payload table must stay duplicate-free and complete
+    val ids = e.imageTable().get.select("image_id").as[String].collect()
+    assert(ids.length == ids.distinct.length, "image dedup fallback duplicated rows")
+    assert(ids.toSet == oracle.imagesCaptions.keySet.toSet)
     // a FRESH engine on the flipped root must detect the regime from
     // durable state (covers marker) — not re-enter the broadcast guard
     // and collect the full index onto the driver

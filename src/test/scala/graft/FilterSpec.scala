@@ -163,6 +163,42 @@ class FilterSpec extends AnyFunSuite {
     finally c0()
   }
 
+  test("scan-probe with a string joinKey == exact: identity is the key, the hash only prefilters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // ids engineered so two DISTINCT ids share a url_hash (a planted
+    // 64-bit collision): joinKey-exact dedup must keep the new one
+    val seenIds = (1 to 300).map(i => s"img-$i")
+    val seen0 = seenIds.toDF("image_id")
+      .withColumn("url_hash", xxhash64(col("image_id")))
+    // candidate "clone-of-img-5" forced onto img-5's hash via a seen side
+    // that carries img-5's hash for BOTH ids
+    val cand = (Seq("img-5", "img-7", "new-1", "new-2", "clone-of-img-5")
+      .map(id => (id, "payload")))
+      .toDF("image_id", "caption")
+      .withColumn("url_hash",
+        org.apache.spark.sql.functions.when(col("image_id") === "clone-of-img-5",
+          xxhash64(lit("img-5"))).otherwise(xxhash64(col("image_id"))))
+    val exact = cand.join(seen0.select("image_id"), Seq("image_id"), "left_anti")
+      .select("image_id").as[String].collect().sorted.toSeq
+    assert(exact == Seq("clone-of-img-5", "new-1", "new-2"))
+    val blocks = BloomDedup.collectBlocks(BloomDedup.buildIndex(
+      seen0.select("url_hash"), 16, expectedPerBucket = 1024))
+    def run(seenDf: org.apache.spark.sql.DataFrame, maxRows: Long): Seq[String] = {
+      val (out, cleanup) = BloomDedup.dedupScan(cand, seenDf, blocks, 16, maxRows,
+        joinKey = "image_id")
+      try out.select("image_id").as[String].collect().sorted.toSeq
+      finally cleanup()
+    }
+    assert(run(seen0.select("image_id"), 4L << 20) == exact,
+      "broadcast probe: hash-colliding new id must survive")
+    assert(run(seen0.select("image_id"), 1L) == exact, "shuffle fallback")
+    val seenB = seen0.withColumn("bucket", pmod(col("url_hash"), lit(16)).cast("int"))
+      .select("image_id", "bucket")
+    assert(run(seenB, 4L << 20) == exact, "bucket-pruned probe")
+  }
+
   test("bloom dedup equals exact anti-join") {
     val spark = TestSpark.spark
     import spark.implicits._
