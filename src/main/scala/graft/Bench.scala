@@ -92,6 +92,30 @@ object Bench {
     nCand / secs
   }
 
+  /** Candidates through the SCAN-PROBE plan — the engine's per-run dedup
+    * path since r3: Bloom verdicts checkpoint, survivors broadcast into a
+    * semi-join against a column-pruned seen SCAN, confirmed dups
+    * broadcast back into the anti-join. The seen side is never shuffled,
+    * so the timed cost is batch work + one narrow scan (vs the legacy
+    * conditional anti-join's per-run seen-side exchange). ~50% of
+    * candidates are dups — survivors stay inside the broadcast cap, the
+    * regime the engine's politeness-bounded batches always sit in. */
+  def benchDedupScan(spark: SparkSession, nCand: Long, nSeen: Long): Double = {
+    import graft.frontier.BloomDedup
+    val seen = spark.range(nSeen)
+      .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+    val cand = spark.range(nCand)
+      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
+        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+    val blocks = BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, 64,
+      expectedPerBucket = nSeen / 64 + 1)) // steady-state index, untimed
+    val (_, secs) = timed {
+      val (out, cleanup) = BloomDedup.dedupScan(cand, seen, blocks, 64)
+      try out.count() finally cleanup()
+    }
+    nCand / secs
+  }
+
   /** Candidates through the BUCKET-SLICED dedup — the beyond-broadcast
     * regime (seen sets whose full Bloom index exceeds the driver/executor
     * broadcast budget). The index is built once outside the timed window

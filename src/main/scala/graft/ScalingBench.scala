@@ -28,6 +28,10 @@ object ScalingBench {
   val FetchLatN = 16000L
   val RttMs = 2
 
+  // scan-probe batch: a politeness-bounded micro-run-sized candidate
+  // batch (the regime whose survivors stay inside the broadcast cap)
+  val ScanCandN = 4L * 1024 * 1024
+
   // beyond-broadcast regime (VERDICT r01 #1): ≥10^8 seen keys, dedup'd in
   // hash-range slices so only |index|/slices is ever broadcast at once
   val XlSeenN = 128L * 1024 * 1024
@@ -44,6 +48,9 @@ object ScalingBench {
     case "dedup" =>
       if (warm) Bench.benchDedup(spark, 100000, 50000)
       Bench.benchDedup(spark, CandN, SeenN)
+    case "dedupscan" =>
+      if (warm) Bench.benchDedupScan(spark, 100000, 50000)
+      Bench.benchDedupScan(spark, ScanCandN, SeenN)
     case "dedupxl" =>
       if (warm) Bench.benchDedupSliced(spark, 100000, 50000)
       Bench.benchDedupSliced(spark, XlCandN, XlSeenN)
@@ -111,7 +118,8 @@ object ScalingBench {
     val stages = Seq(
       "fetch" -> s"fetch+parse, CPU-bound ($FetchN URLs, 0 RTT)",
       "fetchlat" -> s"fetch+parse, latency-bound ($FetchLatN URLs, $RttMs ms RTT)",
-      "dedup" -> s"frontier dedup ($CandN cand vs $SeenN seen)",
+      "dedup" -> s"frontier dedup, legacy anti-join ($CandN cand vs $SeenN seen)",
+      "dedupscan" -> s"frontier dedup, SCAN-PROBE ($ScanCandN cand, ~50% dup, vs $SeenN seen)",
       "dedupxl" -> s"SLICED dedup, beyond-broadcast ($XlCandN cand vs $XlSeenN seen, 8 slices)",
       "images" -> s"image payload+phash ($ImgN)")
     // rows are spliced into a stripMargin block after a margin '|': the
@@ -212,7 +220,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = args.toList match {
     case "report" :: Nil => report()
     case "dedupxl" :: _ => runPointXl()
-    case stage :: _ if Set("fetch", "fetchlat", "dedup", "images")(stage) => runPoint(stage, 0)
+    case stage :: _ if Set("fetch", "fetchlat", "dedup", "dedupscan", "images")(stage) => runPoint(stage, 0)
     case _ =>
       println("usage: ScalingBench <fetch|fetchlat|dedup|dedupxl|images> | report")
   }

@@ -107,6 +107,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   val fetchlog = new SnapshotTable(spark, s"${cfg.tableRoot}/fetchlog")
   val images = new SnapshotTable(spark, s"${cfg.tableRoot}/images")
   val bloomidx = new SnapshotTable(spark, s"${cfg.tableRoot}/bloomidx")
+  val imgidx = new SnapshotTable(spark, s"${cfg.tableRoot}/imgidx")
 
   private val PendingCols =
     Seq("url", "url_hash", "host", "path", "priority", "depth", "seq", "attempt")
@@ -127,10 +128,18 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // last per-run O(history) scan). Session-lifetime state: built from the
   // committed table once on first use, then maintained incrementally from
   // each run's new ids; a restart just rebuilds (one image_id column
-  // scan), so no durable checkpoint is needed. Deactivated past the
-  // broadcast budget — the scan-probe shape keeps working Bloom-less.
+  // scan), so no durable checkpoint is needed — UNTIL the blocks outgrow
+  // the broadcast budget, at which point the engine flips to the SLICED
+  // image regime: the index moves into the imgidx table (carried, not
+  // rebuilt) and dedup runs per hash-range slice, mirroring the URL
+  // frontier's 10^10 path. Like the URL flip, the sliced regime is
+  // detected from durable state (imgidx covers marker) on resume.
   private var imageBlooms: Option[Map[Int, Array[Byte]]] = None
-  private var imageBloomActive: Boolean = true
+  private var imageSlicedActive: Boolean =
+    cfg.useBloom && (cfg.bloomSlices > 1 || imgidx.latestCovers.nonEmpty)
+
+  /** Which image-dedup regime governs (test/observability hook). */
+  def imageSlicedRegimeActive: Boolean = imageSlicedActive
   // true once the sliced (beyond-broadcast) regime governs dedup + index
   // maintenance — configured up front, auto-flipped when the broadcast
   // block map outgrows cfg.maxBroadcastBytes, or DETECTED FROM DURABLE
@@ -216,6 +225,20 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       imageBlooms = Some(blocks)
       blocks
     }
+
+  /** The sliced-mode image-id index rows, validated fresh against the
+    * images head; stale (crash between the images commit and the imgidx
+    * append) → rebuild distributively — the twin of [[slicedIndexRows]]. */
+  private def imageIndexRows(existing: DataFrame): DataFrame = {
+    val head = images.latestSnapshot.getOrElse(0L)
+    if (!imgidx.latestCovers.contains(head)) {
+      val full = BloomDedup.buildIndex(
+        existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
+      imgidx.commitBase(full.withColumn("images_snapshot", lit(head)),
+        Map("rebuild" -> 1.0), covers = Some(head), coalesceTo = 1)
+    }
+    imgidx.read().get.select("bucket", "bloom")
+  }
 
   /** Seed the frontier (run 0 commit). Seed i gets seq = i+1, depth 0. */
   def seed(urls: Seq[String]): Unit = {
@@ -428,7 +451,15 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         val seenCols = col("image_id") +:
           (if (existing.columns.contains("bucket")) Seq(col("bucket")) else Nil)
         val seenIds = existing.select(seenCols: _*)
-        if (cfg.useBloom && imageBloomActive)
+        if (cfg.useBloom && imageSlicedActive) {
+          // beyond-broadcast image regime: per-slice blocks from imgidx,
+          // broadcast/destroyed per slice, exact probes stay image_id-keyed
+          val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          val cleanup = BloomDedup.dedupSliced(newIdsKeyed, seenIds,
+            imageIndexRows(existing), cfg.bloomBuckets, sliceCount,
+            scanProbe = true, joinKey = "image_id") { (_, out) => parts += out }
+          (parts.reduce(_.unionByName(_)), cleanup)
+        } else if (cfg.useBloom)
           BloomDedup.dedupScan(newIdsKeyed, seenIds, loadImageBlocks(existing),
             cfg.bloomBuckets, joinKey = "image_id")
         else {
@@ -470,17 +501,40 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // Bloom maintenance IMMEDIATELY after the commit (before any other
     // fallible step): once the manifest exists the blocks must cover it,
     // or a same-session retry could see a committed id as definitely-new.
-    // The id collect is O(this run's NEW images) from the write-side
-    // cache — batch-bounded like the URL regime's observed hash set, and
-    // skipped entirely on image-less runs
-    if (cfg.useBloom && imageBloomActive && nNewImages > 0) {
+    if (cfg.useBloom && imageSlicedActive && nNewImages > 0) {
+      // sliced image regime: append this run's id blocks as index rows
+      // (distributed build from the write-side cache, merged per bucket
+      // at read time); compact every bloomCommitEvery image-bearing runs
+      val head = images.latestSnapshot.getOrElse(0L)
+      val runIdx = BloomDedup.buildIndex(
+        imageRowsB.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
+        .withColumn("images_snapshot", lit(head))
+      imgidx.commitCovering(runIdx, Map("run" -> runId.toDouble),
+        covers = head, coalesceTo = 1)
+      if (runId % cfg.bloomCommitEvery == 0) {
+        val merged = BloomDedup.mergeIndex(imgidx.read().get.select("bucket", "bloom"))
+        imgidx.commitBase(merged.withColumn("images_snapshot", lit(head)),
+          Map("compaction" -> 1.0, "run" -> runId.toDouble),
+          covers = Some(head), coalesceTo = 1)
+      }
+    } else if (cfg.useBloom && nNewImages > 0) {
+      // broadcast image regime: the id collect is O(this run's NEW
+      // images) from the write-side cache — batch-bounded like the URL
+      // regime's observed hash set, skipped entirely on image-less runs
       val ih = imageRowsB.select(xxhash64(col("image_id"))).as[Long].collect()
       val merged = BloomDedup.addHashes(
         imageBlooms.getOrElse(Map.empty), ih, cfg.bloomBuckets)
       if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
-        // past the budget the prefilter is retired for this session; the
-        // broadcast-probe fallback above stays exact and history-shuffle-free
-        imageBloomActive = false; imageBlooms = None
+        // the standing image blocks just outgrew the broadcast budget:
+        // flip to the sliced image regime, CARRYING the blocks into the
+        // imgidx table as its initial base (the URL flip's twin — one
+        // O(blocks) write, never an O(ids) rebuild)
+        val head = images.latestSnapshot.getOrElse(0L)
+        imgidx.commitBase(
+          merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
+            .toDF("bucket", "bloom", "images_snapshot"),
+          Map("carried" -> 1.0), covers = Some(head), coalesceTo = 1)
+        imageSlicedActive = true; imageBlooms = None
       } else imageBlooms = Some(merged)
     }
     imageRowsB.unpersist()

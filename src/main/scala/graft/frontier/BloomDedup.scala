@@ -144,13 +144,20 @@ object BloomDedup {
     *
     * `idxRows` may carry multiple block rows per bucket (per-run appends);
     * each slice merges its own buckets distributively before collecting.
-    */
+    *
+    * `joinKey` (scan-probe mode only) generalizes the exact identity as
+    * in [[dedupScan]]; a bucket-less seen side is then sliced by
+    * `pmod(xxhash64(joinKey))` — the same key the candidates' `url_hash`
+    * must carry. */
   def dedupSliced(candidates: DataFrame, seen: DataFrame, idxRows: DataFrame,
                   numBuckets: Int, numSlices: Int, scanProbe: Boolean = false,
-                  maxProbeBroadcastRows: Long = 4L << 20)
+                  maxProbeBroadcastRows: Long = 4L << 20,
+                  joinKey: String = "url_hash")
                  (each: (Int, DataFrame) => Unit): () => Unit = {
     require(numSlices >= 1 && numBuckets % numSlices == 0,
       s"numSlices $numSlices must divide numBuckets $numBuckets")
+    require(joinKey == "url_hash" || scanProbe,
+      "a non-hash joinKey needs scanProbe mode")
     val bucketOf = (df: DataFrame) => pmod(col("url_hash"), lit(numBuckets)).cast("int")
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     var s = 0
@@ -169,10 +176,15 @@ object BloomDedup {
         if (seen.columns.contains("bucket"))
           seen.filter(col("bucket").isNull || col("bucket")
             .isin((s until numBuckets by numSlices).map(Integer.valueOf): _*))
-        else seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
+        else if (seen.columns.contains("url_hash"))
+          seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
+        else // hash-less seen side (e.g. an image_id payload table)
+          seen.filter(pmod(
+            pmod(xxhash64(col(joinKey)), lit(numBuckets)), lit(numSlices)) === s)
       if (scanProbe) {
         val blocks = collectBlocks(sliceIdx)
-        val (out, cleanup) = dedupScan(candS, seenS, blocks, numBuckets, maxProbeBroadcastRows)
+        val (out, cleanup) = dedupScan(candS, seenS, blocks, numBuckets,
+          maxProbeBroadcastRows, joinKey)
         cleanups += cleanup
         each(s, out)
       } else {

@@ -198,6 +198,9 @@ object Extraction {
         stripped(s"""<meta\\b[^>]*name="${s.stripPrefix("meta:")}"[^>]*content="([^"]*)"""")
       case s if s.startsWith("css:.") =>
         stripped(s"""(?s)<\\w+\\b[^>]*class="[^"]*\\b${s.stripPrefix("css:.")}\\b[^"]*"[^>]*>(.*?)</\\w+>""")
+      case s if s.startsWith("css:") && s.contains("#") =>
+        val Array(tag, id) = s.stripPrefix("css:").split("#", 2)
+        stripped(s"""(?s)<$tag\\b[^>]*id="$id"[^>]*>(.*?)</$tag>""")
       case other => throw new IllegalArgumentException(other)
     }
     s"""SELECT '$field' AS field, $ord AS ord, '$sel' AS selector,

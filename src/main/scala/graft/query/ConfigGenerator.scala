@@ -32,10 +32,14 @@ trait ConfigGenerator {
   * example pages — done measurably instead of generatively. */
 object HeuristicConfigGenerator extends ConfigGenerator {
 
-  /** Candidate registry for one field, in tie-break order. */
+  /** Candidate registry for one field, in tie-break order: class form,
+    * id form, meta tag, labelled-number regex (+ the title tag for the
+    * title field). Pluggable by design — a domain-specific generator can
+    * extend the trait with its own registry. */
   def candidates(field: String): Seq[String] = {
     val generic = Seq(
       s"css:.$field",
+      s"css:div#$field",
       s"meta:$field",
       s"regex:$field is ([0-9.]+)")
     if (field == "title") generic :+ "title" else generic

@@ -223,12 +223,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(texts.exists(_.contains("\"carried\"")), "no carried-blocks base commit")
     assert(!texts.exists(_.contains("\"rebuild\"")),
       "flip fell back to the O(seen) index rebuild instead of carrying blocks")
-    // the 1KB budget also retires the image-id Bloom after the first
-    // payload commit, so this crawl exercises the broadcast-probe
-    // fallback — the payload table must stay duplicate-free and complete
+    // the 1KB budget also flips the IMAGE-id Bloom to its sliced regime
+    // after the first payload commit (the URL flip's twin): blocks carried
+    // into imgidx (never an O(ids) rebuild), payload table still exact
     val ids = e.imageTable().get.select("image_id").as[String].collect()
-    assert(ids.length == ids.distinct.length, "image dedup fallback duplicated rows")
+    assert(ids.length == ids.distinct.length, "sliced image dedup duplicated rows")
     assert(ids.toSet == oracle.imagesCaptions.keySet.toSet)
+    assert(e.imageSlicedRegimeActive, "image regime never flipped")
+    assert(e.imgidx.latestCovers.nonEmpty, "no covers-marked imgidx commit")
+    val imgManifests = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "imgidx", "commits")).iterator()
+    val imgTexts = scala.jdk.CollectionConverters.IteratorHasAsScala(imgManifests)
+      .asScala.map(p => new String(java.nio.file.Files.readAllBytes(p))).toSeq
+    assert(imgTexts.exists(_.contains("\"carried\"")), "no carried image-blocks base")
+    assert(!imgTexts.exists(_.contains("\"rebuild\"")),
+      "image flip fell back to an O(ids) rebuild instead of carrying blocks")
     // a FRESH engine on the flipped root must detect the regime from
     // durable state (covers marker) — not re-enter the broadcast guard
     // and collect the full index onto the driver
@@ -238,6 +247,8 @@ class CrawlEngineSpec extends AnyFunSuite {
       new SyntheticFetcher(webCfg), web.robots)
     assert(resumed.slicedRegimeActive,
       "resume on a flipped root re-entered the broadcast regime")
+    assert(resumed.imageSlicedRegimeActive,
+      "resume on a flipped root re-entered the broadcast IMAGE regime")
     resumed.crawlAll() // drained: must not refetch or diverge
     assert(resumed.seenSet() == engine.seenSet(), "flipped-root resume diverged")
   }

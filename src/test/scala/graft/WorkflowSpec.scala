@@ -17,7 +17,8 @@ class WorkflowSpec extends AnyFunSuite {
       (1, "<html><head><title>Alpha</title></head><body><span class=\"price\">10.5</span></body></html>"),
       (2, "<html><head><title>Beta</title><meta name=\"mfgr\" content=\"acme\"></head><body>price is 20.0 usd</body></html>"),
       (3, "<html><head><title>Gamma</title></head><body><span class=\"price\">30.0</span><div class=\"vendor\">v1</div></body></html>"),
-      (4, "<html><head><title>Delta</title></head><body>price is 40 usd<div class=\"vendor\">v2</div></body></html>"))
+      (4, "<html><head><title>Delta</title></head><body>price is 40 usd<div class=\"vendor\">v2</div></body></html>"),
+      (5, "<html><head><title>Eps</title></head><body><div id=\"vendor\">v3</div></body></html>"))
       .toDF("id", "html")
   }
   private val fields = Seq("title", "price", "vendor", "mfgr")
@@ -34,9 +35,12 @@ class WorkflowSpec extends AnyFunSuite {
     // order breaks the tie toward css, the loser becomes the fallback
     assert(cfg.selectors("price") == "css:.price")
     assert(cfg.fallbacks("price") == Seq("regex:price is ([0-9.]+)"))
+    // vendor: class form wins 2 hits; the id form (page 5) trails at 1
+    // and joins the fallback chain
+    assert(cfg.fallbacks("vendor") == Seq("css:div#vendor"))
     assert(cfg.confidence("title") == 1.0)
-    assert(cfg.confidence("price") == 0.5 && cfg.confidence("vendor") == 0.5)
-    assert(cfg.confidence("mfgr") == 0.25)
+    assert(cfg.confidence("price") == 0.4 && cfg.confidence("vendor") == 0.4)
+    assert(cfg.confidence("mfgr") == 0.2)
     assert(!cfg.fallbacks.contains("title") && !cfg.fallbacks.contains("mfgr"),
       "zero-hit losers must not enter the fallback chain")
   }
@@ -59,7 +63,8 @@ class WorkflowSpec extends AnyFunSuite {
     assert(byId(2)._4 == "primary", "reference quirk: fallback hits still record 'primary'")
     assert(byId(4)._3.contains("40"))
     // workflow_metadata analogue: every page extracted at least one field
-    assert(wf.workflowMetadata(result) == ((4L, 4L, 1.0)))
+    // (page 5's vendor arrives via the id-form fallback)
+    assert(wf.workflowMetadata(result) == ((5L, 5L, 1.0)))
     // phase 2 alone refuses a never-bootstrapped config, like the reference
     intercept[IllegalStateException] {
       wf.crawlMultiplePages(examplePages, "html", "nope")
