@@ -97,16 +97,17 @@ object Bench {
     * semi-join against a column-pruned seen SCAN, confirmed dups
     * broadcast back into the anti-join. The seen side is never shuffled,
     * so the timed cost is batch work + one narrow scan (vs the legacy
-    * conditional anti-join's per-run seen-side exchange). ~50% of
-    * candidates are dups — survivors stay inside the broadcast cap, the
-    * regime the engine's politeness-bounded batches always sit in. */
+    * conditional anti-join's per-run seen-side exchange). ~12.5% of
+    * candidates are dups — the frontier-EXPANSION regime (mostly-new
+    * links), whose survivors stay inside the broadcast cap; the high-dup
+    * steady state is the legacy row's conditional anti-join. */
   def benchDedupScan(spark: SparkSession, nCand: Long, nSeen: Long): Double = {
     import graft.frontier.BloomDedup
     val seen = spark.range(nSeen)
       .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
     val cand = spark.range(nCand)
-      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
-        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 8)).cast("string"))).as("url_hash"),
+        concat(lit("u"), (col("id") % (nSeen * 8)).cast("string")).as("url"))
     val blocks = BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, 64,
       expectedPerBucket = nSeen / 64 + 1)) // steady-state index, untimed
     val (_, secs) = timed {

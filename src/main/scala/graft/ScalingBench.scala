@@ -28,9 +28,9 @@ object ScalingBench {
   val FetchLatN = 16000L
   val RttMs = 2
 
-  // scan-probe batch: a politeness-bounded micro-run-sized candidate
-  // batch (the regime whose survivors stay inside the broadcast cap)
-  val ScanCandN = 4L * 1024 * 1024
+  // scan-probe batch: a large frontier-expansion candidate batch
+  // (~12.5% dups — survivors stay inside the broadcast cap)
+  val ScanCandN = 16L * 1024 * 1024
 
   // beyond-broadcast regime (VERDICT r01 #1): ≥10^8 seen keys, dedup'd in
   // hash-range slices so only |index|/slices is ever broadcast at once
@@ -87,6 +87,57 @@ object ScalingBench {
     }
   }
 
+  /** Raw-JVM controls (NO Spark): the same box driven by plain threads,
+    * isolating host scaling from engine scaling. `codec` is the
+    * compute-heavy image encode+phash loop (register/cache-resident);
+    * `alloc` is the allocation-heavy short-lived-string + hash loop —
+    * the memory-bandwidth/GC profile of the fetch/dedup stages. Work
+    * scales with the thread count, so rate_4N/rate_N/4 reads exactly
+    * like the Spark rows. */
+  private def controlTrial(threads: Int, kind: String): Double = {
+    val perThread = kind match { case "codec" => 1500L; case _ => 1500000L }
+    val total = perThread * threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var i = 0L
+        var acc = 0L
+        while (i < perThread) {
+          if (kind == "codec") {
+            val (bytes, _, _, _) = graft.images.ImageKit.generate(s"ctl-$t-$i")
+            acc ^= graft.images.ImageKit.phash(bytes)
+          } else {
+            val s = s"http://host-${(i % 512).toString}.test/page/${i.toString}?t=$t"
+            acc ^= graft.urlkit.UrlKit.xxhash64(graft.urlkit.UrlKit.canonicalize(s))
+          }
+          i += 1
+        }
+        if (acc == 42L) println("") // keep acc live
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    total / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def runControl(): Unit = {
+    Files.createDirectories(Paths.get("target"))
+    for (kind <- Seq("codec", "alloc")) {
+      val best = scala.collection.mutable.Map(Seq(2, 8, 32).map(_ -> 0.0): _*)
+      for (rep <- 1 to 3; level <- Seq(2, 8, 32)) {
+        if (rep == 1) controlTrial(level, kind) // warm JIT
+        val r = controlTrial(level, kind)
+        best(level) = math.max(best(level), r)
+        println(f"SCALING_TRIAL stage=ctl$kind cores=$level rep=$rep rate=$r%.1f")
+      }
+      Seq(2, 8, 32).foreach { level =>
+        val json = f"""{"stage":"ctl$kind","cores":$level,"rate":${best(level)}%.1f}"""
+        Files.writeString(pointPath(s"ctl$kind", level), json)
+        println(s"SCALING_POINT $json")
+      }
+    }
+  }
+
   def runPoint(stage: String, cores: Int): Unit = {
     val levels = Seq(2, 8, 32)
     val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
@@ -119,13 +170,18 @@ object ScalingBench {
       "fetch" -> s"fetch+parse, CPU-bound ($FetchN URLs, 0 RTT)",
       "fetchlat" -> s"fetch+parse, latency-bound ($FetchLatN URLs, $RttMs ms RTT)",
       "dedup" -> s"frontier dedup, legacy anti-join ($CandN cand vs $SeenN seen)",
-      "dedupscan" -> s"frontier dedup, SCAN-PROBE ($ScanCandN cand, ~50% dup, vs $SeenN seen)",
+      "dedupscan" -> s"frontier dedup, SCAN-PROBE ($ScanCandN cand, ~12% dup, vs $SeenN seen)",
       "dedupxl" -> s"SLICED dedup, beyond-broadcast ($XlCandN cand vs $XlSeenN seen, 8 slices)",
       "images" -> s"image payload+phash ($ImgN)")
+    // raw-JVM controls render as extra rows but are EXCLUDED from the
+    // computed headline claim — they measure the box, not the engine
+    val controls = Seq(
+      "ctlcodec" -> "CONTROL, no Spark: raw threads, image codec+phash",
+      "ctlalloc" -> "CONTROL, no Spark: raw threads, short-lived string alloc+hash")
     // rows are spliced into a stripMargin block after a margin '|': the
     // first row needs a single leading pipe (the template provides its
     // margin), later rows need a doubled one that the strip consumes
-    val rawRows = stages.flatMap { case (k, label) =>
+    val rawRows = (stages ++ controls).flatMap { case (k, label) =>
       (read(k, 8), read(k, 32)) match {
         case (Some(r8), Some(r32)) =>
           val c2 = read(k, 2).map(r2 => (f"$r2%,.0f", f"${(r8 / r2) / 4.0}%.2f"))
@@ -136,6 +192,20 @@ object ScalingBench {
     }
     val rows = rawRows.zipWithIndex
       .map { case (r, i) => if (i == 0) r else "|" + r }.mkString("\n")
+    // the headline claim is COMPUTED from the same points as the table,
+    // so prose can never drift from the data across re-runs
+    val effs = stages.flatMap { case (k, label) =>
+      (read(k, 2), read(k, 8)) match {
+        case (Some(r2), Some(r8)) => Some(label.takeWhile(_ != '(').trim -> (r8 / r2) / 4.0)
+        case _ => None
+      }
+    }
+    val meets = effs.filter(_._2 >= 0.8).map { case (l, e) => f"$l (${e}%.2f)" }
+    val misses = effs.filter(_._2 < 0.8).map { case (l, e) => f"$l (${e}%.2f)" }
+    val headlineClaim =
+      s"""At the headline 2→8 pair, ${meets.size}/${effs.size} measured stages meet the
+         |≥0.8 bar: ${if (meets.isEmpty) "none" else meets.mkString("; ")}.
+         |${if (misses.isEmpty) "" else s"Below the bar this campaign: ${misses.mkString("; ")}."}""".stripMargin
     val md =
       s"""# BENCH — measured throughput + scaling evidence
          |
@@ -154,56 +224,70 @@ object ScalingBench {
          ||---|---|---|---|---|---|
          |$rows
          |
-         |Headline N→4N pair (2→8 cores): every stage meets the ≥0.8 bar
-         |this round — the latency-bound fetch (the realistic regime for
-         |"URLs fetched/sec" — a crawler waits on the network and task
-         |slots overlap waits), the frontier dedup and the image payload
-         |stages. The CPU-bound zero-RTT fetch is a parse microbenchmark
-         |whose absolute rate is two orders of magnitude above the
-         |latency-bound regime; it is memory-bandwidth-heavy and the most
-         |exposed to host noise.
+         |$headlineClaim
+         |The latency-bound fetch is the realistic regime for "URLs
+         |fetched/sec" — a crawler waits on the network and task slots
+         |overlap waits. The CPU-bound zero-RTT fetch and the in-memory
+         |dedup stages are memory-bandwidth-heavy microbenchmarks, the
+         |most exposed to the time-shared host's co-tenant drift (their
+         |measured rates move ±35% between campaigns on identical code;
+         |the table keeps the best interleaved trial per level).
          |
-         |Round-2 deltas: the r01 dedup REGRESSION at local[32]
-         |(1.73 M/s < 2.38 M/s at local[8]) is gone — 3.2 M/s at 8 →
-         |6.9 M/s at 32 after the probe-side distinct removal and the
-         |byte-bounded executor block cache. The new `dedupxl` row is the
-         |beyond-broadcast regime at 1.28×10⁸ seen keys (VERDICT r01 #1):
-         |hash-range-sliced dedup where only |index|/8 is ever broadcast,
-         |built by a bucket-pre-shuffled distributed index build.
+         |Round-3 deltas: the per-run dedup plan is now ADAPTIVE — below
+         |`scanProbeMinSeen` attempts the legacy conditional anti-join
+         |(zero extra jobs per run), above it the new SCAN-PROBE plan
+         |(`dedupscan` row): Bloom verdicts checkpoint, survivors
+         |broadcast into a semi-join against a column-pruned, footer-stats
+         |file-skipped SCAN of the bucket-clustered seen table — the crawl
+         |history is never shuffled per micro-run, for the URL frontier
+         |and the image-id payload dedup alike. The dedupscan row pays the
+         |plan's fixed jobs on a small batch, which is exactly why the
+         |engine keeps the legacy plan below the threshold; its value is
+         |that its cost is O(batch + pruned scan), independent of the
+         |shuffle of a 10^10-row history (the dedupxl row is the
+         |genuinely-large-seen regime). A dir-per-commit Hive-partitioned
+         |fetchlog layout was tried for partition-level pruning and
+         |REVERTED: planning a union of per-commit partitioned scans cost
+         |~2× e2e at micro-run cadence — bucket-RANGE-clustered flat files
+         |(each spanning ~1 bucket, pushed IN skips whole files via
+         |min/max stats) keep the IO win in one multi-path relation.
          |
          |Stage definitions: fetch+parse = pre-planned frontier slice through
          |the fetch `mapPartitions` + Catalyst link parse; dedup = candidates
          |through the broadcast-Bloom-block prefilter expression + exact
          |conditional anti-join (steady-state index, built outside the timed
-         |window); dedupxl = same contract through `BloomDedup.dedupSliced`
-         |(per-slice block collect → broadcast → destroy); image =
-         |deterministic codec encode + decode + 64-bit phash.
+         |window); dedupscan = same contract through `BloomDedup.dedupScan`
+         |(eager Bloom verdicts + survivor-broadcast probe scan); dedupxl =
+         |`BloomDedup.dedupSliced` (per-slice block collect → broadcast →
+         |destroy); image = deterministic codec encode + decode + 64-bit
+         |phash.
          |
-         |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 32 1000 4`:
+         |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
-         |hostSalts 4, local[32]): 34,999 fetches, 34,058 distinct URLs,
-         |47,262 stored image payloads in 64.4 s ≈ 543 urls/s (r01: 202)
-         |INCLUDING frontier dedup, politeness planning, payload
-         |encode+phash and the snapshot commits. The r02 engine rework —
-         |pending delta table instead of per-run full-history rescans,
-         |metrics riding `Dataset.observe`, footer-stat lineage instead of
-         |read-back jobs, empty-commit skipping — cut the per-micro-run
-         |fixed cost ~3-5×; at the driver bench config (3,104-URL toy web)
-         |e2e went 26.8 → ~129 urls/s.
+         |hostSalts 4): 34,999 fetches, 34,058 distinct URLs, 47,262
+         |stored image payloads — 65.5 s ≈ 534 urls/s at local[32],
+         |59.2 s ≈ 591 urls/s at local[8] (r02: 543 at local[32]; r01:
+         |202), INCLUDING frontier dedup, politeness planning, payload
+         |encode+phash and the snapshot commits. 8 cores edging 32 at
+         |this config is the politeness bound: per-run batches are budget-
+         |capped, so wall time is micro-run fixed cost × runs, not CPU —
+         |the per-stage table above is where compute scaling shows.
          |
-         |Why 8→32 flattens HERE and why it would not on a cluster: a raw
-         |JVM control (32 plain threads doing the image codec loop, no Spark)
-         |scales at 0.93 efficiency 8→32 on this box, so the flattening is
-         |not in the engine's task structure; the fetch/dedup stages move
-         |multi-GB of short-lived strings/hashes and saturate the single
-         |socket's memory bandwidth near 8 busy cores (the host is also
-         |time-shared — load drifts were larger than the 8→32 signal until
-         |trials were interleaved). On the real target (N vs 4N *executors*,
-         |each executor on its own node) every node contributes its own
-         |memory bandwidth, which is precisely the scaling axis the north
-         |rule measures; nothing in the plan serializes: no driver-side
-         |loops, no global locks, per-host state partition-local, exchanges
-         |hash-partitioned on url_hash/host.
+         |Why efficiency flattens HERE and why it would not on a cluster:
+         |the two CONTROL rows are the same box driven by PLAIN JVM THREADS
+         |— no Spark, no shuffle, no task scheduling. The compute-heavy
+         |codec control shows what the silicon delivers; the short-lived-
+         |string alloc+hash control reproduces the memory/GC profile of
+         |the fetch/dedup stages. Whatever efficiency the controls lose
+         |2→8/8→32 is the HOST (single-socket memory bandwidth + co-tenant
+         |drift on a time-shared box), not the engine's task structure —
+         |read the Spark rows against the control rows, not against 1.0.
+         |On the real target (N vs 4N *executors*, each executor on its
+         |own node) every node contributes its own memory bandwidth, which
+         |is precisely the scaling axis the north rule measures; nothing
+         |in the plan serializes: no driver-side loops, no global locks,
+         |per-host state partition-local, exchanges hash-partitioned on
+         |url_hash/host.
          |
          |Reference single-node comparison (BASELINE.md): the reference
          |crawler processes 2-4 records/sec end-to-end on 2 vCPU with a
@@ -220,8 +304,9 @@ object ScalingBench {
   def main(args: Array[String]): Unit = args.toList match {
     case "report" :: Nil => report()
     case "dedupxl" :: _ => runPointXl()
+    case "control" :: _ => runControl()
     case stage :: _ if Set("fetch", "fetchlat", "dedup", "dedupscan", "images")(stage) => runPoint(stage, 0)
     case _ =>
-      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupxl|images> | report")
+      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|images|control> | report")
   }
 }

@@ -42,7 +42,15 @@ final case class CrawlConfig(
       * side rebuilds its table-resident index from the seen set once,
       * the same tested path as any stale-index resume). */
     bloomSlices: Int = 1,
-    maxBroadcastBytes: Long = 512L * 1024 * 1024) {
+    maxBroadcastBytes: Long = 512L * 1024 * 1024,
+    /** Seen-set size (attempt rows, estimated from commit manifests)
+      * above which dedup switches from the legacy conditional anti-join
+      * to the SCAN-PROBE plan. Below it the seen side is small enough
+      * that one shuffle costs less than the scan-probe's fixed per-run
+      * jobs (checkpoint + survivor count) — measured on micro-run
+      * crawls; above it the O(history) exchange is the thing that must
+      * never happen. */
+    scanProbeMinSeen: Long = 8L * 1024 * 1024) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   /** Slice count once the auto-flip triggers: the largest divisor of
@@ -137,6 +145,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private var imageBlooms: Option[Map[Int, Array[Byte]]] = None
   private var imageSlicedActive: Boolean =
     cfg.useBloom && (cfg.bloomSlices > 1 || imgidx.latestCovers.nonEmpty)
+  // manifest-derived cardinality estimates (read once at startup, then
+  // maintained from the runs' own counts): the regime switches for the
+  // adaptive dedup plan — legacy single-shuffle plans while the state
+  // tables are small, scan-probe once a history exchange would dominate
+  private var seenRowsEst: Long = fetchlog.totalRows
+  private var imageRowsEst: Long = images.totalRows
+  private def scanProbeRegime: Boolean = seenRowsEst >= cfg.scanProbeMinSeen
+  private def imageScanRegime: Boolean = imageRowsEst >= cfg.scanProbeMinSeen
 
   /** Which image-dedup regime governs (test/observability hook). */
   def imageSlicedRegimeActive: Boolean = imageSlicedActive
@@ -175,20 +191,20 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
   def currentDelayMs: Double = pol.clampedDelay
 
-  /** Bucket-clustered repartition with WITHIN-BUCKET salting (NOTES r02
-    * #3): clustering on `bucket` alone caps write parallelism at
-    * numBuckets and funnels a hot bucket through one task; salting by
-    * `pmod(hash, S)` spreads each bucket over up to S tasks while the
-    * writer's partitionBy still routes rows to `bucket=K/` dirs, so the
-    * per-commit file count stays ≤ buckets × S. S adapts to the batch:
-    * 1 (plain clustering) for micro-run-sized batches, growing with the
-    * requested task count at cluster-scale batch sizes. */
+  /** Bucket-clustered RANGE repartition (NOTES r02 #3): each written
+    * file then spans a narrow CONTIGUOUS bucket range (usually one
+    * bucket), so a pushed IN(bucket,…) filter skips whole files via
+    * footer min/max stats — hash-partitioning on (bucket, salt) would
+    * scatter arbitrary bucket sets into each file and widen every
+    * min/max span past usefulness. The secondary `hash` range key
+    * splits a hot bucket across several tasks (the within-bucket
+    * salting), and task count adapts to the batch size. Cost: the range
+    * partitioner's one sampling pass — the callers feed it cached
+    * frames, so nothing expensive recomputes. */
   private def bucketSalted(df: DataFrame, hash: org.apache.spark.sql.Column,
-                           targetTasks: Int): DataFrame = {
-    val salt = math.max(1, targetTasks / cfg.bloomBuckets)
-    df.repartition(math.max(cfg.bloomBuckets, targetTasks),
-      col("bucket"), pmod(hash, lit(salt)))
-  }
+                           targetTasks: Int): DataFrame =
+    df.repartitionByRange(math.max(cfg.bloomBuckets, targetTasks),
+      col("bucket"), hash)
 
   /** Load (or recover) the standing Bloom blocks. The persisted blocks
     * carry the fetchlog snapshot they cover; a mismatch (crash between
@@ -303,7 +319,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           if (!fits) flipToSliced(blocks)
           fits
         } =>
-      BloomDedup.dedupScan(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
+      // adaptive plan: below scanProbeMinSeen the conditional anti-join
+      // embeds in the consumers' own actions (zero extra jobs); above
+      // it, scan-probe keeps the seen side out of every exchange
+      if (!scanProbeRegime)
+        (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets),
+          () => ())
+      else BloomDedup.dedupScan(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
     case Some(seen) =>
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val cleanup = BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
@@ -459,14 +481,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
             imageIndexRows(existing), cfg.bloomBuckets, sliceCount,
             scanProbe = true, joinKey = "image_id") { (_, out) => parts += out }
           (parts.reduce(_.unionByName(_)), cleanup)
-        } else if (cfg.useBloom)
+        } else if (cfg.useBloom && imageScanRegime)
           BloomDedup.dedupScan(newIdsKeyed, seenIds, loadImageBlocks(existing),
             cfg.bloomBuckets, joinKey = "image_id")
-        else {
-          val dups = seenIds.select("image_id")
-            .join(broadcast(newIdsKeyed.select("image_id")), Seq("image_id"), "left_semi")
-          (newIdsKeyed.join(broadcast(dups), Seq("image_id"), "left_anti"), () => ())
-        }
+        else
+          // small-table regime (and the no-Bloom path): the plain
+          // anti-join embeds in the commit's own action — zero extra jobs
+          (newIdsKeyed.join(seenIds.select("image_id"), Seq("image_id"), "left_anti"),
+            () => ())
     }
     val unseenIds = unseenKeyed.drop("url_hash")
 
@@ -485,19 +507,22 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // payload fetch + codec + phash mapPartitions into the (few) write
     // tasks and single-thread the most expensive per-row stage; the
     // repartition keeps generation at full parallelism and only the
-    // written bytes cross the one exchange. The write is PARTITIONED by
-    // the id-hash bucket (like the fetchlog) so the dedup probe's seen
-    // scan prunes whole partitions. The batch is persisted so the Bloom
+    // written bytes cross the one exchange. `bucket` is a CLUSTERED DATA
+    // column, not a partition dir: bucketSalted gives each file a 1-2
+    // bucket min/max span, so the dedup probe's pushed IN(bucket,…)
+    // filter skips whole files via footer stats, while reads stay ONE
+    // multi-path relation (a Hive-partitioned dir-per-commit layout was
+    // measured to cost more in per-micro-run union planning than its
+    // partition pruning saved). The batch is persisted so the Bloom
     // maintenance below reads ids from cache instead of regenerating
-    // payloads (an Observation on the write would be free, but V1
-    // partitioned parquet writes do not propagate observed metrics).
+    // payloads.
     val imageRowsB = imageRows.withColumn("bucket",
       pmod(xxhash64(col("image_id")), lit(cfg.bloomBuckets)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNewImages = images.commitCounted(
       bucketSalted(imageRowsB, xxhash64(col("image_id")), (nOk / 5000 + 1).toInt),
       Map("run" -> runId.toDouble), None,
-      skipIfEmpty = true, partitionBy = Seq("bucket")).rows // count via footers
+      skipIfEmpty = true).rows // count via footers
     // Bloom maintenance IMMEDIATELY after the commit (before any other
     // fallible step): once the manifest exists the blocks must cover it,
     // or a same-session retry could see a committed id as definitely-new.
@@ -517,10 +542,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           Map("compaction" -> 1.0, "run" -> runId.toDouble),
           covers = Some(head), coalesceTo = 1)
       }
-    } else if (cfg.useBloom && nNewImages > 0) {
+    } else if (cfg.useBloom && imageScanRegime && nNewImages > 0) {
       // broadcast image regime: the id collect is O(this run's NEW
       // images) from the write-side cache — batch-bounded like the URL
       // regime's observed hash set, skipped entirely on image-less runs
+      // and in the small-table regime (whose plain anti-join needs no
+      // Bloom at all — loadImageBlocks self-heals at the crossover)
       val ih = imageRowsB.select(xxhash64(col("image_id"))).as[Long].collect()
       val merged = BloomDedup.addHashes(
         imageBlooms.getOrElse(Map.empty), ih, cfg.bloomBuckets)
@@ -537,6 +564,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         imageSlicedActive = true; imageBlooms = None
       } else imageBlooms = Some(merged)
     }
+    imageRowsEst += nNewImages
     imageRowsB.unpersist()
     imgCleanup()
 
@@ -605,18 +633,23 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "dedup_dropped" -> (totalLinks - nNewCand).toDouble,
       "delay_ms" -> pol.clampedDelay)
 
-    // completion marker — LAST (see class doc). The write is PARTITIONED
-    // by the hash-range bucket (`data/commit-N/bucket=K/`), so both the
+    // completion marker — LAST (see class doc). `bucket` is a CLUSTERED
+    // DATA column (bucketSalted: each file spans 1-2 buckets), so the
     // sliced regime's per-slice seen reads and the scan-probe's
-    // touched-bucket restriction prune at the PARTITION level — the
-    // dedup probe never lists or scans files outside its buckets. Cost:
-    // bloomBuckets files per micro-run (bounded; at cluster scale the
-    // batch is large enough that per-bucket files are full-size anyway).
+    // touched-bucket restriction push a plain IN(bucket,…) filter that
+    // skips whole files via footer min/max stats — while the read stays
+    // ONE multi-path parquet relation. The dir-per-commit Hive layout
+    // tried first (`bucket=K/` dirs) pruned at the partition level but
+    // had to plan a UNION of per-commit scans (Spark cannot mix sibling
+    // partitioned roots in one relation) — measured ~2× e2e slowdown
+    // from per-micro-run planning; stats-skipping keeps the IO win
+    // without the planning cost.
     val logRows = results.drop("body").withColumn("run", lit(runId))
       .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
     fetchlog.commit(
       bucketSalted(logRows, col("url_hash"), (nScheduled / 50000 + 1).toInt),
-      baseMetrics, Some("seq"), partitionBy = Seq("bucket"))
+      baseMetrics, Some("seq"))
+    seenRowsEst += nScheduled
 
     // incremental Bloom maintenance: hash only THIS run's urls (already on
     // the driver from the fetch observation) into the standing blocks —

@@ -247,6 +247,19 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Latest base (compaction) snapshot id ≤ the head, when one exists. */
   def latestBase: Option[Long] = snapshots.filter(kindOf(_) == "base").lastOption
 
+  private val NRowsRe = "\"n_rows\":([0-9.eE+]+)".r
+
+  /** Total committed rows since the last base — a manifest-derived
+    * cardinality estimate (metadata only, no job). Slightly OVER-counts
+    * live rows when delta deletes exist; callers use it as a regime
+    * threshold, where over-counting errs toward the scale-safe plan. */
+  def totalRows: Long = {
+    val anchor = latestBase.getOrElse(Long.MinValue)
+    snapshots.filter(_ >= anchor).map(id =>
+      NRowsRe.findFirstMatchIn(manifestText(id))
+        .map(_.group(1).toDouble.toLong).getOrElse(0L)).sum
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)

@@ -73,9 +73,9 @@ class CrawlEngineSpec extends AnyFunSuite {
   test("payload table matches the oracle: ids, captions byte-equal, phash, PSNR>=40") {
     val spark = TestSpark.spark
     import spark.implicits._
-    // the payload table is id-hash-bucket-partitioned on disk (the dedup
-    // probe's partition pruning), but the PUBLIC schema stays input_hint
-    assert(engine.images.partitionScheme == Seq("bucket"))
+    // the payload table carries the internal bucket-cluster column (the
+    // dedup probe's file-skipping key); the PUBLIC schema stays input_hint
+    assert(engine.images.read().get.columns.contains("bucket"))
     assert(engine.imageTable().get.columns.toSeq ==
       Seq("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
     val imgs = engine.imageTable().get
@@ -176,15 +176,17 @@ class CrawlEngineSpec extends AnyFunSuite {
     val ref = engine.imageTable().get.select("image_id", "phash")
       .as[(String, Long)].collect().toMap
     assert(imgs == ref, "sliced dedup changed the payload table")
-    // the slice restriction must reach the parquet scan as a PARTITION
-    // filter — the fetchlog is bucket-partitioned on disk, so a slice's
-    // seen read prunes whole bucket=K dirs, not just row groups
+    // the slice restriction must reach the parquet scan as a PUSHED
+    // filter — bucket is a clustered data column (bucketSalted: each
+    // file spans 1-2 bucket values), so the IN skips whole files via
+    // footer min/max stats while the read stays one multi-path relation
+    // (the dir-per-commit partitioned layout pruned harder but cost more
+    // in per-micro-run union planning than it saved — measured e2e)
     val slicePlan = e.fetchlog.read().get
       .filter(org.apache.spark.sql.functions.col("bucket").isin(0, 2, 4, 6))
       .queryExecution.executedPlan.toString
-    assert(slicePlan.contains("PartitionFilters") &&
-      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(slicePlan).isDefined,
-      s"bucket restriction not a partition filter:\n$slicePlan")
+    assert("PushedFilters: \\[[^\\]]*In\\(bucket".r.findFirstIn(slicePlan).isDefined,
+      s"bucket restriction not pushed to the scan:\n$slicePlan")
     // resume inside the sliced regime (fresh engine, same root) drains
     // cleanly without refetching
     val before = e.fetchlog.read().get.count()
@@ -203,9 +205,14 @@ class CrawlEngineSpec extends AnyFunSuite {
     // a budget every real block map exceeds (one block is ~78KB) forces
     // the flip on the first maintenance pass; the rest of the crawl runs
     // in the sliced regime and must still match the oracle's seen set
+    // scanProbeMinSeen = 0 forces the scan-probe regime from the start
+    // (toy tables would otherwise stay on the small-table legacy plan),
+    // so this test covers: broadcast scan-probe → flip → sliced, for
+    // BOTH the URL frontier and the image-id payload dedup
     val e = new CrawlEngine(TestSpark.spark,
       CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
-        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L),
+        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L,
+        scanProbeMinSeen = 0L),
       new SyntheticFetcher(webCfg), web.robots)
     e.seed(web.seeds)
     e.crawlAll()
@@ -243,7 +250,8 @@ class CrawlEngineSpec extends AnyFunSuite {
     // and collect the full index onto the driver
     val resumed = new CrawlEngine(TestSpark.spark,
       CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
-        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L),
+        useBloom = true, bloomBuckets = 8, maxBroadcastBytes = 1024L,
+        scanProbeMinSeen = 0L),
       new SyntheticFetcher(webCfg), web.robots)
     assert(resumed.slicedRegimeActive,
       "resume on a flipped root re-entered the broadcast regime")
