@@ -180,7 +180,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * post-run maintenance folds the just-committed run's hashes in
     * before flipping. */
   private def flipToSliced(blocks: Map[Int, Array[Byte]]): Unit = {
-    val head = fetchlog.latestSnapshot.getOrElse(0L)
+    val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     bloomidx.commitBase(
       blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
         .toDF("bucket", "bloom", "fetchlog_snapshot"),
@@ -213,7 +213,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * "definitely new" and refetch them. */
   private def loadBloomBlocks(seen: DataFrame): Map[Int, Array[Byte]] =
     bloomBlocks.getOrElse {
-      val logSnap = fetchlog.latestSnapshot.getOrElse(0L)
+      val logSnap = fetchlog.latestDataSnapshot.getOrElse(0L)
       // sliced-mode commits carry covers markers and hold per-run DELTA
       // rows — not trustworthy as a full block map; force the rebuild when
       // this root was last written by the sliced regime
@@ -246,7 +246,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * images head; stale (crash between the images commit and the imgidx
     * append) → rebuild distributively — the twin of [[slicedIndexRows]]. */
   private def imageIndexRows(existing: DataFrame): DataFrame = {
-    val head = images.latestSnapshot.getOrElse(0L)
+    val head = images.latestDataSnapshot.getOrElse(0L)
     if (!imgidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(
         existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
@@ -283,7 +283,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * the full index DISTRIBUTEDLY and commit it as a new base — the index
     * never transits the driver in this regime. */
   private def slicedIndexRows(seen: DataFrame): DataFrame = {
-    val head = fetchlog.latestSnapshot.getOrElse(0L)
+    val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     if (!bloomidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(seen, cfg.bloomBuckets)
       bloomidx.commitBase(full.withColumn("fetchlog_snapshot", lit(head)),
@@ -382,7 +382,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * > head means a crash inside a run), else a rebuild committed as a new
     * compacted base so the next run is fast again. */
   private def pendingLive(): Option[DataFrame] = {
-    val logHead = fetchlog.latestSnapshot.getOrElse(0L)
+    val logHead = fetchlog.latestDataSnapshot.getOrElse(0L)
     val fresh = pending.latestSnapshot.nonEmpty &&
       pending.snapshots.flatMap(pending.coversOf).lastOption.exists(_ <= logHead)
     if (fresh) Some(pendingMaterialized(logHead))
@@ -530,7 +530,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       // sliced image regime: append this run's id blocks as index rows
       // (distributed build from the write-side cache, merged per bucket
       // at read time); compact every bloomCommitEvery image-bearing runs
-      val head = images.latestSnapshot.getOrElse(0L)
+      val head = images.latestDataSnapshot.getOrElse(0L)
       val runIdx = BloomDedup.buildIndex(
         imageRowsB.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
         .withColumn("images_snapshot", lit(head))
@@ -556,7 +556,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         // flip to the sliced image regime, CARRYING the blocks into the
         // imgidx table as its initial base (the URL flip's twin — one
         // O(blocks) write, never an O(ids) rebuild)
-        val head = images.latestSnapshot.getOrElse(0L)
+        val head = images.latestDataSnapshot.getOrElse(0L)
         imgidx.commitBase(
           merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
             .toDF("bucket", "bloom", "images_snapshot"),
@@ -686,10 +686,24 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
     // pending compaction: fold appends-minus-attempts into a fresh base so
     // later reads stay O(live + deltas-since), not O(append history)
-    if (runId % cfg.compactEvery == 0)
+    if (runId % cfg.compactEvery == 0) {
       pending.commitBase(pendingMaterialized(runId).select(PendingCols.map(col): _*),
         Map("compaction" -> 1.0, "run" -> runId.toDouble), Some("seq"),
         covers = Some(runId))
+      // bounded commit-dir growth (the Iceberg rewrite-data-files
+      // analogue): bin-pack the oldest micro-run dirs into one merge
+      // commit, re-clustered by bucket. Each row is rewritten at most
+      // once over the crawl's lifetime and the live dir count stays
+      // O(runs/K + K) — without this a 10^5-run crawl reads a
+      // 10^5-path relation every run. Content is unchanged, so covers
+      // markers stay valid (they compare against latestDataSnapshot).
+      val mergeMetrics = Map("binpack" -> 1.0, "run" -> runId.toDouble)
+      fetchlog.mergeAppends(cfg.compactEvery * 2,
+        df => bucketSalted(df, col("url_hash"), cfg.bloomBuckets), mergeMetrics)
+      images.mergeAppends(cfg.compactEvery * 2,
+        df => bucketSalted(df, xxhash64(col("image_id")), cfg.bloomBuckets), mergeMetrics)
+      frontier.mergeAppends(cfg.compactEvery * 2, _.coalesce(1), mergeMetrics)
+    }
 
     // ---- adaptive controller (R2) -------------------------------------
     val successRate = if (nScheduled == 0) 1.0 else nOk.toDouble / nScheduled
@@ -720,7 +734,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         case None => continue = false
       }
     }
-    val logHead = fetchlog.latestSnapshot.getOrElse(0L)
+    val logHead = fetchlog.latestDataSnapshot.getOrElse(0L)
     if (cfg.useBloom && !slicedActive && lastBloomCommitRun != logHead)
       bloomBlocks.foreach(commitBloom(_, logHead))
     out.toSeq

@@ -57,6 +57,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private val CoversRe = "\"covers\":(-?[0-9]+)".r
   private val HasDeletesRe = "\"delete_dir\":".r
   private val PartitionByRe = "\"partition_by\":\\[([^\\]]*)\\]".r
+  private val MergesRe = "\"merges\":\\[([^\\]]*)\\]".r
 
   /** Ids of committed snapshots, ascending. */
   def snapshots: Seq[Long] = {
@@ -70,6 +71,22 @@ class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   def latestSnapshot: Option[Long] = snapshots.lastOption
+
+  /** Latest snapshot that ADDED data (append/delta) — merge and base
+    * commits rewrite existing rows without changing table content, so
+    * staleness markers (`covers`) that certify content coverage compare
+    * against THIS head: an index covering the last data commit still
+    * covers the table after a bin-pack merge. */
+  def latestDataSnapshot: Option[Long] =
+    snapshots.filter(id => { val k = kindOf(id); k == "append" || k == "delta" }).lastOption
+
+  /** Data-dir ids superseded by a merge commit ≤ n (their rows live in
+    * the merge commit's dir from n on; originals stay on disk for time
+    * travel — a production table service would expire them). */
+  private def mergedAway(n: Long): Set[Long] =
+    snapshots.filter(id => id <= n && kindOf(id) == "merge")
+      .flatMap(id => MergesRe.findFirstMatchIn(manifestText(id)).map(_.group(1)))
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)).toSet
 
   private def manifestText(n: Long): String =
     new String(Files.readAllBytes(commitsDir.resolve(f"v$n%06d.json")), StandardCharsets.UTF_8)
@@ -122,7 +139,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val ids = snapshots.filter(_ <= n)
     if (ids.isEmpty) return None
     val anchor = ids.filter(kindOf(_) == "base").lastOption.getOrElse(Long.MinValue)
-    val live = ids.filter(_ >= anchor)
+    // bin-packed dirs are replaced by their merge commit's dir as of the
+    // merge; reading at an earlier snapshot still sees the originals
+    val packed = mergedAway(n)
+    val live = ids.filter(id => id >= anchor && !packed.contains(id))
     val dataDirs = live.map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
     if (dataDirs.isEmpty) return None
     val data = readDirs(dataDirs)
@@ -164,6 +184,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
                     partitionBy: Seq[String] = Nil): CommitResult =
     commitKind(df, metrics, seqCol, coalesceTo, "append", None, None, skipIfEmpty, partitionBy)
 
+  /** Bin-pack compaction (the Iceberg rewrite-data-files analogue): the
+    * OLDEST ≥2 (≤ maxDirs) unmerged append dirs since the last base are
+    * rewritten into ONE merge commit, which supersedes them for reads at
+    * or after it. Unlike a base commit this is INCREMENTAL — merge dirs
+    * are never re-merged, so every data row is rewritten at most once
+    * over the table's lifetime, and the live dir count after M appends
+    * stays O(M / maxDirs + maxDirs) instead of O(M). Time travel to
+    * pre-merge snapshots still sees the original dirs; `transform`
+    * re-clusters the rewritten rows (e.g. by bucket). Returns the merge
+    * snapshot id, or None when fewer than two dirs qualify. */
+  def mergeAppends(maxDirs: Int, transform: DataFrame => DataFrame = identity,
+                   metrics: Map[String, Double] = Map.empty): Option[Long] = {
+    val anchor = latestBase.getOrElse(Long.MinValue)
+    val packed = mergedAway(latestSnapshot.getOrElse(0L))
+    val candidates = snapshots
+      .filter(id => id >= anchor && !packed.contains(id) && kindOf(id) == "append")
+      .filter(id => Files.isDirectory(dataDir(id)))
+      .take(maxDirs)
+    if (candidates.size < 2) return None
+    val df = transform(readDirs(candidates.map(dataDir(_).toString)))
+    Some(commitKind(df, metrics, None, 0, "merge", None, None,
+      merges = Some(candidates)).id)
+  }
+
   /** Append with a `covers` staleness marker. */
   def commitCovering(df: DataFrame, metrics: Map[String, Double], covers: Long,
                      seqCol: Option[String] = None, coalesceTo: Int = 0,
@@ -174,7 +218,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
                          coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
                          covers: Option[Long], skipIfEmpty: Boolean = false,
-                         partitionBy: Seq[String] = Nil): CommitResult = {
+                         partitionBy: Seq[String] = Nil,
+                         merges: Option[Seq[Long]] = None): CommitResult = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
     // the table's existing layout wins over the caller's request — one
@@ -209,13 +254,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val metricsJson = (metrics + ("n_rows" -> rows.toDouble)).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
     val coversJson = covers.map(c => s""","covers":$c""").getOrElse("")
+    val mergesJson = merges.map(ids => s""","merges":[${ids.mkString(",")}]""").getOrElse("")
     val partJson =
       if (scheme.isEmpty) ""
       else scheme.map(c => s""""$c"""").mkString(""","partition_by":[""", ",", "]")
     val manifest =
       s"""{"snapshot_id":$id,
          |"kind":"$kind",
-         |"data_dir":"${out.toString}"$delDirJson$coversJson$partJson,
+         |"data_dir":"${out.toString}"$delDirJson$coversJson$partJson$mergesJson,
          |"committed_at_ms":${System.currentTimeMillis()},
          |"metrics":$metricsJson,
          |"lineage":[${lineage.mkString(",")}]}""".stripMargin
@@ -237,9 +283,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Data appended in snapshots (a, b] only — the incremental read for
     * callers tracking their own watermark (e.g. attempts since the last
-    * pending compaction). None when no data dirs exist in the range. */
+    * pending compaction). Only append/delta commits qualify: merge and
+    * base commits rewrite EXISTING rows (counting their dirs would
+    * duplicate appends already seen); their originals stay on disk, so
+    * the incremental contract is unaffected by bin-packing. None when
+    * no data dirs exist in the range. */
   def readBetween(a: Long, b: Long): Option[DataFrame] = {
     val dirs = snapshots.filter(id => id > a && id <= b)
+      .filter(id => { val k = kindOf(id); k == "append" || k == "delta" })
       .map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
     if (dirs.isEmpty) None else Some(readDirs(dirs))
   }
@@ -250,12 +301,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private val NRowsRe = "\"n_rows\":([0-9.eE+]+)".r
 
   /** Total committed rows since the last base — a manifest-derived
-    * cardinality estimate (metadata only, no job). Slightly OVER-counts
-    * live rows when delta deletes exist; callers use it as a regime
-    * threshold, where over-counting errs toward the scale-safe plan. */
+    * cardinality estimate (metadata only, no job). Merge commits rewrite
+    * rows already counted by their sources, so they are skipped.
+    * Slightly OVER-counts live rows when delta deletes exist; callers
+    * use it as a regime threshold, where over-counting errs toward the
+    * scale-safe plan. */
   def totalRows: Long = {
     val anchor = latestBase.getOrElse(Long.MinValue)
-    snapshots.filter(_ >= anchor).map(id =>
+    snapshots.filter(id => id >= anchor && kindOf(id) != "merge").map(id =>
       NRowsRe.findFirstMatchIn(manifestText(id))
         .map(_.group(1).toDouble.toLong).getOrElse(0L)).sum
   }

@@ -261,6 +261,36 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(resumed.seenSet() == engine.seenSet(), "flipped-root resume diverged")
   }
 
+  test("bin-pack merges during the crawl: state exact, sliced covers survive, resume clean") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-binpack").toString
+    // compactEvery = 2 → several merge passes over a short crawl, in the
+    // sliced regime (covers markers must survive merge commits because
+    // they compare against latestDataSnapshot, not latestSnapshot)
+    def cfg = CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+      useBloom = true, bloomBuckets = 8, bloomSlices = 2, compactEvery = 2,
+      scanProbeMinSeen = 0L)
+    val e = new CrawlEngine(TestSpark.spark, cfg, new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    e.crawlAll()
+    assert(e.fetchlog.snapshots.exists(id => e.fetchlog.kindOf(id) == "merge"),
+      "no merge commit ever happened — cadence broken")
+    assert(e.seenSet() == engine.seenSet(), "bin-packing diverged the seen set")
+    val imgs = e.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    val ref = engine.imageTable().get.select("image_id", "phash")
+      .as[(String, Long)].collect().toMap
+    assert(imgs == ref, "bin-packing diverged the payload table")
+    // fresh engine on the merged root: drains without refetching — the
+    // index covers markers must still match the (data) head
+    val before = e.fetchlog.read().get.count()
+    val e2 = new CrawlEngine(TestSpark.spark, cfg, new SyntheticFetcher(webCfg), web.robots)
+    e2.crawlAll()
+    assert(e2.fetchlog.read().get.count() == before, "merged-root resume refetched")
+    assert(e2.seenSet() == engine.seenSet())
+  }
+
   test("stale bloom index (crash between fetchlog and bloomidx commits) forces rebuild, state still exact") {
     val root = Files.createTempDirectory("crawl-stalebloom").toString
     // bloomCommitEvery = 1 so run 2 definitely checkpointed the index —

@@ -110,7 +110,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.commit(model.toSeq.map { case ((h, a), v) => (h, a, v) }.toDF("url_hash", "attempt", "v"),
       Map.empty)
     for (step <- 1 to 12) {
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // plain append
           val rows = freshRows(1 + rnd.nextInt(4))
           t.commit(rows.toDF("url_hash", "attempt", "v"), Map.empty)
@@ -124,12 +124,45 @@ class SnapshotTableSpec extends AnyFunSuite {
             Map.empty)
         case 2 => // compaction
           t.commitBase(t.read().get, Map.empty)
+        case 3 => // bin-pack merge: must NEVER change table content
+          t.mergeAppends(2 + rnd.nextInt(3))
       }
       val got = t.read().get.select("url_hash", "attempt", "v")
         .as[(Long, Int, String)].collect().toSet
       val exp = model.toSet.map { kv: ((Long, Int), String) => (kv._1._1, kv._1._2, kv._2) }
       assert(got == exp, s"divergence at step $step: got ${got.size}, exp ${exp.size}")
     }
+  }
+
+  test("bin-pack merge commits: state preserved, sources superseded, time travel + incremental reads intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmpDir())
+    for (i <- 1 to 5)
+      t.commit(Seq((i.toLong, s"v$i")).toDF("url_hash", "v"), Map.empty)
+    val before = t.read().get.as[(Long, String)].collect().toSet
+    val dataHead = t.latestSnapshot.get
+    val m1 = t.mergeAppends(3, _.coalesce(1), Map("binpack" -> 1.0))
+    assert(m1.nonEmpty && t.kindOf(m1.get) == "merge")
+    assert(t.read().get.as[(Long, String)].collect().toSet == before,
+      "merge changed table content")
+    assert(t.latestDataSnapshot.contains(dataHead),
+      "merge must not advance the DATA head (covers markers depend on it)")
+    assert(t.readAt(3).get.count() == 3, "time travel to pre-merge broken")
+    assert(t.readBetween(0, t.latestSnapshot.get).get.count() == 5,
+      "readBetween double-counted merged rows")
+    assert(t.totalRows == 5, "totalRows double-counted the merge rewrite")
+    // second pass packs the remainder; merge dirs are never re-merged
+    val m2 = t.mergeAppends(10, _.coalesce(1))
+    assert(m2.nonEmpty)
+    assert(t.read().get.as[(Long, String)].collect().toSet == before)
+    assert(t.mergeAppends(10).isEmpty, "re-merged already-packed dirs")
+    // appends after merges fold in normally
+    t.commit(Seq((6L, "v6")).toDF("url_hash", "v"), Map.empty)
+    assert(t.read().get.count() == 6)
+    // the live read now plans over merged dirs: 2 merge dirs + 1 append
+    assert(t.read().get.inputFiles.length <= 3,
+      "bin-packing did not shrink the read's file set")
   }
 
   test("partitioned layout: round-trip, partition pruning, lineage, scheme stickiness") {
