@@ -37,6 +37,13 @@ object ScalingBench {
   val XlSeenN = 128L * 1024 * 1024
   val XlCandN = 8L * 1024 * 1024
 
+  // one more decade (VERDICT r02 #9): ≥10^9 seen keys through the SHIPPED
+  // sliced plan (scan-probe) against a materialized bucket-range-clustered
+  // seen table — the production fetchlog layout, file-skipped per slice
+  val XxlSeenN = 1024L * 1024 * 1024
+  val XxlCandN = 8L * 1024 * 1024
+  val XxlDir = "target/bench_xxl"
+
   private def trial(stage: String, spark: org.apache.spark.sql.SparkSession,
                     warm: Boolean): Double = stage match {
     case "fetch" =>
@@ -82,6 +89,28 @@ object ScalingBench {
         }.max
         val json = f"""{"stage":"dedupxl","cores":$level,"rate":$best%.1f}"""
         Files.writeString(pointPath("dedupxl", level), json)
+        println(s"SCALING_POINT $json")
+      } finally { spark.stop(); System.gc() }
+    }
+  }
+
+  /** dedupxxl: the 10^9-key point. The seen parquet + index build is a
+    * one-time materialization shared by BOTH levels (identical input
+    * bytes — the scaling comparison only times the dedup passes). */
+  def runPointXxl(): Unit = {
+    val levels = Seq(8, 32)
+    Files.createDirectories(Paths.get("target"))
+    levels.foreach { level =>
+      val spark = Bench.session(level.toString)
+      try {
+        Bench.benchDedupSlicedDisk(spark, 100000, 50000, s"$XxlDir/warm") // warm codegen
+        val best = (1 to 3).map { rep =>
+          val r = Bench.benchDedupSlicedDisk(spark, XxlCandN, XxlSeenN, XxlDir)
+          println(f"SCALING_TRIAL stage=dedupxxl cores=$level rep=$rep rate=$r%.1f")
+          r
+        }.max
+        val json = f"""{"stage":"dedupxxl","cores":$level,"rate":$best%.1f}"""
+        Files.writeString(pointPath("dedupxxl", level), json)
         println(s"SCALING_POINT $json")
       } finally { spark.stop(); System.gc() }
     }
@@ -172,6 +201,7 @@ object ScalingBench {
       "dedup" -> s"frontier dedup, legacy anti-join ($CandN cand vs $SeenN seen)",
       "dedupscan" -> s"frontier dedup, SCAN-PROBE ($ScanCandN cand, ~12% dup, vs $SeenN seen)",
       "dedupxl" -> s"SLICED dedup, beyond-broadcast ($XlCandN cand vs $XlSeenN seen, 8 slices)",
+      "dedupxxl" -> s"SLICED scan-probe dedup, 10^9 on-disk seen ($XxlCandN cand vs $XxlSeenN seen, 8 slices)",
       "images" -> s"image payload+phash ($ImgN)")
     // raw-JVM controls render as extra rows but are EXCLUDED from the
     // computed headline claim — they measure the box, not the engine
@@ -259,8 +289,14 @@ object ScalingBench {
          |window); dedupscan = same contract through `BloomDedup.dedupScan`
          |(eager Bloom verdicts + survivor-broadcast probe scan); dedupxl =
          |`BloomDedup.dedupSliced` (per-slice block collect → broadcast →
-         |destroy); image = deterministic codec encode + decode + 64-bit
-         |phash.
+         |destroy); dedupxxl = the SHIPPED sliced scan-probe plan (exactly
+         |CrawlEngine's beyond-broadcast regime) against a 10^9-key seen
+         |table MATERIALIZED on disk in the engine's bucket-range-clustered
+         |fetchlog layout — per slice only |index|/8 is broadcast and the
+         |probe's pushed IN(bucket,…) file-skips the seen scan, which is
+         |never shuffled (the one-time table+index build is untimed and
+         |shared verbatim by both levels); image = deterministic codec
+         |encode + decode + 64-bit phash.
          |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
@@ -304,9 +340,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = args.toList match {
     case "report" :: Nil => report()
     case "dedupxl" :: _ => runPointXl()
+    case "dedupxxl" :: _ => runPointXxl()
     case "control" :: _ => runControl()
     case stage :: _ if Set("fetch", "fetchlat", "dedup", "dedupscan", "images")(stage) => runPoint(stage, 0)
     case _ =>
-      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|images|control> | report")
+      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|dedupxxl|images|control> | report")
   }
 }

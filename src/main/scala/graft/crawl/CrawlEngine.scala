@@ -182,9 +182,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def flipToSliced(blocks: Map[Int, Array[Byte]]): Unit = {
     val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     bloomidx.commitBase(
-      blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
-        .toDF("bucket", "bloom", "fetchlog_snapshot"),
-      Map("carried" -> 1.0), covers = Some(head), coalesceTo = 1)
+      sliceClustered(blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
+        .toDF("bucket", "bloom", "fetchlog_snapshot")),
+      Map("carried" -> 1.0), covers = Some(head))
     slicedActive = true
     bloomBlocks = None
   }
@@ -205,6 +205,18 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
                            targetTasks: Int): DataFrame =
     df.repartitionByRange(math.max(cfg.bloomBuckets, targetTasks),
       col("bucket"), hash)
+
+  /** Slice-clustered FULL-index write (NOTES r3 #3): block rows grouped
+    * into files by the slice their bucket belongs to (range on
+    * pmod(bucket, slices), then bucket), so a slice's pushed
+    * IN(bucket,…) read needs only its own files — parquet skips the
+    * rest via dictionary/stats filtering on the bucket column (at 10^9+
+    * scale each block is its own row group, making footer min/max exact
+    * per row) — and the one-time flip/rebuild/compaction write
+    * parallelizes across slices instead of one serial driver-sized file. */
+  private def sliceClustered(df: DataFrame): DataFrame =
+    df.repartitionByRange(sliceCount,
+      pmod(col("bucket"), lit(sliceCount)), col("bucket"))
 
   /** Load (or recover) the standing Bloom blocks. The persisted blocks
     * carry the fetchlog snapshot they cover; a mismatch (crash between
@@ -250,8 +262,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     if (!imgidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(
         existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
-      imgidx.commitBase(full.withColumn("images_snapshot", lit(head)),
-        Map("rebuild" -> 1.0), covers = Some(head), coalesceTo = 1)
+      imgidx.commitBase(sliceClustered(full.withColumn("images_snapshot", lit(head))),
+        Map("rebuild" -> 1.0), covers = Some(head))
     }
     imgidx.read().get.select("bucket", "bloom")
   }
@@ -286,8 +298,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     if (!bloomidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(seen, cfg.bloomBuckets)
-      bloomidx.commitBase(full.withColumn("fetchlog_snapshot", lit(head)),
-        Map("rebuild" -> 1.0), covers = Some(head), coalesceTo = 1)
+      bloomidx.commitBase(sliceClustered(full.withColumn("fetchlog_snapshot", lit(head))),
+        Map("rebuild" -> 1.0), covers = Some(head))
     }
     bloomidx.read().get.select("bucket", "bloom")
   }
@@ -538,9 +550,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = head, coalesceTo = 1)
       if (runId % cfg.bloomCommitEvery == 0) {
         val merged = BloomDedup.mergeIndex(imgidx.read().get.select("bucket", "bloom"))
-        imgidx.commitBase(merged.withColumn("images_snapshot", lit(head)),
+        imgidx.commitBase(sliceClustered(merged.withColumn("images_snapshot", lit(head))),
           Map("compaction" -> 1.0, "run" -> runId.toDouble),
-          covers = Some(head), coalesceTo = 1)
+          covers = Some(head))
       }
     } else if (cfg.useBloom && imageScanRegime && nNewImages > 0) {
       // broadcast image regime: the id collect is O(this run's NEW
@@ -558,9 +570,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         // O(blocks) write, never an O(ids) rebuild)
         val head = images.latestDataSnapshot.getOrElse(0L)
         imgidx.commitBase(
-          merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
-            .toDF("bucket", "bloom", "images_snapshot"),
-          Map("carried" -> 1.0), covers = Some(head), coalesceTo = 1)
+          sliceClustered(merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
+            .toDF("bucket", "bloom", "images_snapshot")),
+          Map("carried" -> 1.0), covers = Some(head))
         imageSlicedActive = true; imageBlooms = None
       } else imageBlooms = Some(merged)
     }
@@ -665,9 +677,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = runId, coalesceTo = 1)
       if (runId % cfg.bloomCommitEvery == 0) {
         val merged = BloomDedup.mergeIndex(bloomidx.read().get.select("bucket", "bloom"))
-        bloomidx.commitBase(merged.withColumn("fetchlog_snapshot", lit(runId)),
+        bloomidx.commitBase(sliceClustered(merged.withColumn("fetchlog_snapshot", lit(runId))),
           Map("compaction" -> 1.0, "run" -> runId.toDouble),
-          covers = Some(runId), coalesceTo = 1)
+          covers = Some(runId))
       }
     } else if (cfg.useBloom) {
       val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
@@ -692,17 +704,25 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = Some(runId))
       // bounded commit-dir growth (the Iceberg rewrite-data-files
       // analogue): bin-pack the oldest micro-run dirs into one merge
-      // commit, re-clustered by bucket. Each row is rewritten at most
-      // once over the crawl's lifetime and the live dir count stays
-      // O(runs/K + K) — without this a 10^5-run crawl reads a
-      // 10^5-path relation every run. Content is unchanged, so covers
-      // markers stay valid (they compare against latestDataSnapshot).
+      // commit, re-clustered by bucket, and — once a FULL batch of
+      // level-1 merges has accumulated — pack those into one level-2
+      // merge. Each row is rewritten at most twice over the crawl's
+      // lifetime and the live dir count stays O(runs/K² + 2K) —
+      // without this a 10^5-run crawl reads a 10^5-path relation
+      // every run. Content is unchanged, so covers markers stay valid
+      // (they compare against latestDataSnapshot).
       val mergeMetrics = Map("binpack" -> 1.0, "run" -> runId.toDouble)
-      fetchlog.mergeAppends(cfg.compactEvery * 2,
+      val packK = cfg.compactEvery * 2
+      fetchlog.mergeAppends(packK,
         df => bucketSalted(df, col("url_hash"), cfg.bloomBuckets), mergeMetrics)
-      images.mergeAppends(cfg.compactEvery * 2,
+      images.mergeAppends(packK,
         df => bucketSalted(df, xxhash64(col("image_id")), cfg.bloomBuckets), mergeMetrics)
-      frontier.mergeAppends(cfg.compactEvery * 2, _.coalesce(1), mergeMetrics)
+      frontier.mergeAppends(packK, _.coalesce(1), mergeMetrics)
+      fetchlog.mergeMerges(packK,
+        df => bucketSalted(df, col("url_hash"), cfg.bloomBuckets), mergeMetrics)
+      images.mergeMerges(packK,
+        df => bucketSalted(df, xxhash64(col("image_id")), cfg.bloomBuckets), mergeMetrics)
+      frontier.mergeMerges(packK, _.coalesce(1), mergeMetrics)
     }
 
     // ---- adaptive controller (R2) -------------------------------------

@@ -162,7 +162,13 @@ object BloomDedup {
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     var s = 0
     while (s < numSlices) {
-      val sliceIdx = mergeIndex(idxRows.filter(pmod(col("bucket"), lit(numSlices)) === s))
+      // concrete IN, not pmod(bucket)==s: the same bucket set, but PUSHABLE
+      // to a table-resident index's parquet scan — at 10^9+ keys each block
+      // row is its own row group (blocks are tens of MB), so footer min/max
+      // stats skip every other slice's blocks instead of reading the full
+      // index numSlices times per pass
+      val sliceBuckets = (s until numBuckets by numSlices).map(Integer.valueOf)
+      val sliceIdx = mergeIndex(idxRows.filter(col("bucket").isin(sliceBuckets: _*)))
       val candS = candidates.filter(pmod(bucketOf(candidates), lit(numSlices)) === s)
       // when the seen table carries a materialized `bucket` column, the
       // slice restriction becomes a plain IN over concrete values — a

@@ -201,6 +201,9 @@ object Extraction {
       case s if s.startsWith("css:") && s.contains("#") =>
         val Array(tag, id) = s.stripPrefix("css:").split("#", 2)
         stripped(s"""(?s)<$tag\\b[^>]*id="$id"[^>]*>(.*?)</$tag>""")
+      case s if s.startsWith("css:") && s.contains(".") => // tag.class form
+        val Array(tag, cls) = s.stripPrefix("css:").split("\\.", 2)
+        stripped(s"""(?s)<$tag\\b[^>]*class="[^"]*\\b$cls\\b[^"]*"[^>]*>(.*?)</$tag>""")
       case other => throw new IllegalArgumentException(other)
     }
     s"""SELECT '$field' AS field, $ord AS ord, '$sel' AS selector,

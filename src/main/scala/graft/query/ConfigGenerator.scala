@@ -32,13 +32,20 @@ trait ConfigGenerator {
   * example pages — done measurably instead of generatively. */
 object HeuristicConfigGenerator extends ConfigGenerator {
 
-  /** Candidate registry for one field, in tie-break order: class form,
-    * id form, meta tag, labelled-number regex (+ the title tag for the
-    * title field). Pluggable by design — a domain-specific generator can
-    * extend the trait with its own registry. */
+  /** Candidate registry for one field, in tie-break order: bare class
+    * form, then the tag-qualified class forms the CSS compiler supports
+    * (span/div/td — td being the table-cell form the reference's tabular
+    * result pages favor), id form, meta tag, labelled-number regex (+ the
+    * title tag for the title field). Pluggable by design — a
+    * domain-specific generator can extend the trait with its own
+    * registry; every candidate is one more codegen'd column in the same
+    * single aggregation pass. */
   def candidates(field: String): Seq[String] = {
     val generic = Seq(
       s"css:.$field",
+      s"css:span.$field",
+      s"css:div.$field",
+      s"css:td.$field",
       s"css:div#$field",
       s"meta:$field",
       s"regex:$field is ([0-9.]+)")

@@ -58,6 +58,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private val HasDeletesRe = "\"delete_dir\":".r
   private val PartitionByRe = "\"partition_by\":\\[([^\\]]*)\\]".r
   private val MergesRe = "\"merges\":\\[([^\\]]*)\\]".r
+  private val MergeLevelRe = "\"level\":([0-9]+)".r
 
   /** Ids of committed snapshots, ascending. */
   def snapshots: Seq[Long] = {
@@ -187,10 +188,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Bin-pack compaction (the Iceberg rewrite-data-files analogue): the
     * OLDEST ≥2 (≤ maxDirs) unmerged append dirs since the last base are
     * rewritten into ONE merge commit, which supersedes them for reads at
-    * or after it. Unlike a base commit this is INCREMENTAL — merge dirs
-    * are never re-merged, so every data row is rewritten at most once
-    * over the table's lifetime, and the live dir count after M appends
-    * stays O(M / maxDirs + maxDirs) instead of O(M). Time travel to
+    * or after it. Unlike a base commit this is INCREMENTAL — this method
+    * never re-merges a merge dir, so it alone rewrites every data row at
+    * most once over the table's lifetime, and the live dir count after M
+    * appends stays O(M / maxDirs + maxDirs) instead of O(M) (a further
+    * level — [[mergeMerges]] — packs full batches of level-1 merges to
+    * O(M / maxDirs² + 2·maxDirs) at a rewrite bound of 2). Time travel to
     * pre-merge snapshots still sees the original dirs; `transform`
     * re-clusters the rewritten rows (e.g. by bucket). Returns the merge
     * snapshot id, or None when fewer than two dirs qualify. */
@@ -208,6 +211,37 @@ class SnapshotTable(spark: SparkSession, root: String) {
       merges = Some(candidates)).id)
   }
 
+  /** Bin-pack level of merge snapshot `n` (1 when the field is absent —
+    * pre-level manifests; 0 for non-merge commits). */
+  def mergeLevelOf(n: Long): Int =
+    if (kindOf(n) != "merge") 0
+    else MergeLevelRe.findFirstMatchIn(manifestText(n)).map(_.group(1).toInt).getOrElse(1)
+
+  /** SECOND-level bin-pack: rewrite the oldest `maxDirs` un-packed
+    * LEVEL-1 merge dirs into ONE level-2 merge commit. Fires only on a
+    * FULL batch (exactly `maxDirs` candidates qualify) and level-2
+    * merges are terminal — never re-merged — so every data row is
+    * rewritten at most TWICE over the table's lifetime and the live dir
+    * count after M appends packed K-at-a-time drops from O(M/K + K) to
+    * O(M/K² + 2K). `mergedAway` is already transitive (a level-2
+    * manifest supersedes its level-1 dirs, whose own manifests supersede
+    * the original appends), so reads/time-travel/readBetween need no
+    * changes. Returns the merge snapshot id, or None below a full batch. */
+  def mergeMerges(maxDirs: Int, transform: DataFrame => DataFrame = identity,
+                  metrics: Map[String, Double] = Map.empty): Option[Long] = {
+    require(maxDirs >= 2, s"maxDirs $maxDirs must be >= 2")
+    val anchor = latestBase.getOrElse(Long.MinValue)
+    val packed = mergedAway(latestSnapshot.getOrElse(0L))
+    val candidates = snapshots
+      .filter(id => id >= anchor && !packed.contains(id) && mergeLevelOf(id) == 1)
+      .filter(id => Files.isDirectory(dataDir(id)))
+      .take(maxDirs)
+    if (candidates.size < maxDirs) return None
+    val df = transform(readDirs(candidates.map(dataDir(_).toString)))
+    Some(commitKind(df, metrics, None, 0, "merge", None, None,
+      merges = Some(candidates), mergeLevel = 2).id)
+  }
+
   /** Append with a `covers` staleness marker. */
   def commitCovering(df: DataFrame, metrics: Map[String, Double], covers: Long,
                      seqCol: Option[String] = None, coalesceTo: Int = 0,
@@ -219,7 +253,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
                          coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
                          covers: Option[Long], skipIfEmpty: Boolean = false,
                          partitionBy: Seq[String] = Nil,
-                         merges: Option[Seq[Long]] = None): CommitResult = {
+                         merges: Option[Seq[Long]] = None,
+                         mergeLevel: Int = 1): CommitResult = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
     // the table's existing layout wins over the caller's request — one
@@ -254,7 +289,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val metricsJson = (metrics + ("n_rows" -> rows.toDouble)).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
     val coversJson = covers.map(c => s""","covers":$c""").getOrElse("")
-    val mergesJson = merges.map(ids => s""","merges":[${ids.mkString(",")}]""").getOrElse("")
+    val mergesJson = merges
+      .map(ids => s""","merges":[${ids.mkString(",")}],"level":$mergeLevel""").getOrElse("")
     val partJson =
       if (scheme.isEmpty) ""
       else scheme.map(c => s""""$c"""").mkString(""","partition_by":[""", ",", "]")

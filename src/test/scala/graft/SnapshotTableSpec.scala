@@ -124,8 +124,9 @@ class SnapshotTableSpec extends AnyFunSuite {
             Map.empty)
         case 2 => // compaction
           t.commitBase(t.read().get, Map.empty)
-        case 3 => // bin-pack merge: must NEVER change table content
+        case 3 => // bin-pack merges (both levels): must NEVER change content
           t.mergeAppends(2 + rnd.nextInt(3))
+          t.mergeMerges(2) // fires only on a full level-1 batch
       }
       val got = t.read().get.select("url_hash", "attempt", "v")
         .as[(Long, Int, String)].collect().toSet
@@ -163,6 +164,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     // the live read now plans over merged dirs: 2 merge dirs + 1 append
     assert(t.read().get.inputFiles.length <= 3,
       "bin-packing did not shrink the read's file set")
+  }
+
+  test("second-level bin-pack: level-1 merges pack into a terminal level-2 merge; content/time-travel intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmpDir())
+    for (i <- 1 to 8)
+      t.commit(Seq((i.toLong, s"v$i")).toDF("url_hash", "v"), Map.empty)
+    val before = t.read().get.as[(Long, String)].collect().toSet
+    // four level-1 packs of the 8 appends
+    val l1 = (1 to 4).flatMap(_ => t.mergeAppends(2, _.coalesce(1)))
+    assert(l1.size == 4 && l1.forall(t.mergeLevelOf(_) == 1))
+    // below a FULL batch nothing fires; at the batch size it packs all 4
+    assert(t.mergeMerges(5).isEmpty, "level-2 fired below a full batch")
+    val l2 = t.mergeMerges(4, _.coalesce(1), Map("binpack" -> 2.0))
+    assert(l2.nonEmpty && t.kindOf(l2.get) == "merge" && t.mergeLevelOf(l2.get) == 2)
+    assert(t.read().get.as[(Long, String)].collect().toSet == before,
+      "level-2 merge changed table content")
+    // the live read plans over ONE dir now
+    assert(t.read().get.inputFiles.length == 1,
+      "level-2 pack did not collapse the read's file set")
+    // level-2 merges are terminal: nothing left to pack at either level
+    assert(t.mergeAppends(10).isEmpty && t.mergeMerges(2).isEmpty,
+      "re-packed superseded or terminal dirs")
+    // time travel: before any merge sees the originals; between the
+    // level-1 packs and the level-2 pack sees level-1 dirs
+    assert(t.readAt(8).get.count() == 8)
+    assert(t.readAt(l1.last).get.as[(Long, String)].collect().toSet == before)
+    // incremental/cardinality contracts ignore rewrites at every level
+    assert(t.readBetween(0, t.latestSnapshot.get).get.count() == 8)
+    assert(t.totalRows == 8)
+    // appends after a level-2 pack fold in and can start a new cycle
+    t.commit(Seq((9L, "v9")).toDF("url_hash", "v"), Map.empty)
+    assert(t.read().get.count() == 9)
+    assert(t.mergeAppends(10).isEmpty, "a single new append must not pack alone")
   }
 
   test("partitioned layout: round-trip, partition pruning, lineage, scheme stickiness") {

@@ -31,13 +31,15 @@ class WorkflowSpec extends AnyFunSuite {
     assert(cfg.selectors("title") == "title", "title tag must beat no-hit candidates")
     assert(cfg.selectors("vendor") == "css:.vendor")
     assert(cfg.selectors("mfgr") == "meta:mfgr")
-    // price: css (pages 1,3) ties regex (pages 2,4) at 2 hits — registry
-    // order breaks the tie toward css, the loser becomes the fallback
+    // price: bare-class (pages 1,3) ties span.class (same spans) and
+    // regex (pages 2,4) at 2 hits — registry order breaks the tie toward
+    // the bare class form; the tied losers chain behind it in order
     assert(cfg.selectors("price") == "css:.price")
-    assert(cfg.fallbacks("price") == Seq("regex:price is ([0-9.]+)"))
-    // vendor: class form wins 2 hits; the id form (page 5) trails at 1
-    // and joins the fallback chain
-    assert(cfg.fallbacks("vendor") == Seq("css:div#vendor"))
+    assert(cfg.fallbacks("price") ==
+      Seq("css:span.price", "regex:price is ([0-9.]+)"))
+    // vendor: bare-class wins 2 hits over the tied div.class (ord), with
+    // the id form (page 5, 1 hit) trailing the chain
+    assert(cfg.fallbacks("vendor") == Seq("css:div.vendor", "css:div#vendor"))
     assert(cfg.confidence("title") == 1.0)
     assert(cfg.confidence("price") == 0.4 && cfg.confidence("vendor") == 0.4)
     assert(cfg.confidence("mfgr") == 0.2)
