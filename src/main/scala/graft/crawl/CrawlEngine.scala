@@ -53,16 +53,10 @@ final case class CrawlConfig(
     scanProbeMinSeen: Long = 8L * 1024 * 1024) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
-  /** Slice count once the auto-flip triggers: the largest divisor of
-    * bloomBuckets ≤ 8 (at least 2 — a 1-slice "sliced" regime would
-    * still collect the whole index). When bloomBuckets has no divisor in
-    * [2,8] (e.g. a prime count) every bucket becomes its own slice —
-    * falling back to 1 would silently reinstate the broadcast memory
-    * bound the flip exists to escape. */
-  def autoSlices: Int =
-    (2 to math.min(8, bloomBuckets)).filter(bloomBuckets % _ == 0)
-      .lastOption.getOrElse(bloomBuckets)
 }
+// the auto-flip slice count is ADAPTIVE in the index size — see
+// CrawlEngine.slicesFor (the fixed-cap autoSlices it replaces silently
+// reintroduced the broadcast bound once the index outgrew cap × budget)
 
 final case class RunStats(
     run: Long, scheduled: Long, fetchedOk: Long, failed: Long,
@@ -165,8 +159,27 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // index onto the driver (a driver OOM at the scale that caused the flip)
   private var slicedActive: Boolean =
     cfg.bloomSlices > 1 || (cfg.useBloom && bloomidx.latestCovers.nonEmpty)
-  private def sliceCount: Int =
-    if (cfg.bloomSlices > 1) cfg.bloomSlices else cfg.autoSlices
+  /** Slice count for a sliced-regime index over ~`rowsEst` keys. An
+    * explicit bloomSlices wins; otherwise ADAPTIVE in the index size:
+    * the smallest divisor of bloomBuckets (≥2) whose per-slice block
+    * share fits maxBroadcastBytes (~1.2 bytes/key at the builder's 1%
+    * fpp), falling back to one bucket per slice. A fixed cap (the old
+    * autoSlices ≤8) silently reintroduced the broadcast memory bound as
+    * the seen set kept growing past the flip point (a 10^10-key index
+    * is ~12 GB — 1.5 GB per slice at 8). The attempt-row estimate
+    * over-counts distinct URLs, erring toward MORE slices — the
+    * memory-safe direction. */
+  private def slicesFor(rowsEst: Long): Int =
+    if (cfg.bloomSlices > 1) cfg.bloomSlices
+    else {
+      val estIndexBytes = math.max(1L, (rowsEst * 1.2).toLong)
+      val needed = math.max(2L,
+        (estIndexBytes + cfg.maxBroadcastBytes - 1) / cfg.maxBroadcastBytes)
+      (needed.min(cfg.bloomBuckets.toLong).toInt to cfg.bloomBuckets)
+        .find(cfg.bloomBuckets % _ == 0).getOrElse(cfg.bloomBuckets)
+    }
+  private def sliceCount: Int = slicesFor(seenRowsEst)
+  private def imageSliceCount: Int = slicesFor(imageRowsEst)
 
   /** Which dedup regime governs (test/observability hook). */
   def slicedRegimeActive: Boolean = slicedActive
@@ -183,7 +196,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     bloomidx.commitBase(
       sliceClustered(blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
-        .toDF("bucket", "bloom", "fetchlog_snapshot")),
+        .toDF("bucket", "bloom", "fetchlog_snapshot"), sliceCount),
       Map("carried" -> 1.0), covers = Some(head))
     slicedActive = true
     bloomBlocks = None
@@ -214,9 +227,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * scale each block is its own row group, making footer min/max exact
     * per row) — and the one-time flip/rebuild/compaction write
     * parallelizes across slices instead of one serial driver-sized file. */
-  private def sliceClustered(df: DataFrame): DataFrame =
-    df.repartitionByRange(sliceCount,
-      pmod(col("bucket"), lit(sliceCount)), col("bucket"))
+  private def sliceClustered(df: DataFrame, slices: Int): DataFrame =
+    df.repartitionByRange(slices, pmod(col("bucket"), lit(slices)), col("bucket"))
 
   /** Load (or recover) the standing Bloom blocks. The persisted blocks
     * carry the fetchlog snapshot they cover; a mismatch (crash between
@@ -262,7 +274,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     if (!imgidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(
         existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
-      imgidx.commitBase(sliceClustered(full.withColumn("images_snapshot", lit(head))),
+      imgidx.commitBase(sliceClustered(full.withColumn("images_snapshot", lit(head)),
+          imageSliceCount),
         Map("rebuild" -> 1.0), covers = Some(head))
     }
     imgidx.read().get.select("bucket", "bloom")
@@ -298,7 +311,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val head = fetchlog.latestDataSnapshot.getOrElse(0L)
     if (!bloomidx.latestCovers.contains(head)) {
       val full = BloomDedup.buildIndex(seen, cfg.bloomBuckets)
-      bloomidx.commitBase(sliceClustered(full.withColumn("fetchlog_snapshot", lit(head))),
+      bloomidx.commitBase(sliceClustered(full.withColumn("fetchlog_snapshot", lit(head)),
+          sliceCount),
         Map("rebuild" -> 1.0), covers = Some(head))
     }
     bloomidx.read().get.select("bucket", "bloom")
@@ -490,7 +504,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           // broadcast/destroyed per slice, exact probes stay image_id-keyed
           val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
           val cleanup = BloomDedup.dedupSliced(newIdsKeyed, seenIds,
-            imageIndexRows(existing), cfg.bloomBuckets, sliceCount,
+            imageIndexRows(existing), cfg.bloomBuckets, imageSliceCount,
             scanProbe = true, joinKey = "image_id") { (_, out) => parts += out }
           (parts.reduce(_.unionByName(_)), cleanup)
         } else if (cfg.useBloom && imageScanRegime)
@@ -550,7 +564,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = head, coalesceTo = 1)
       if (runId % cfg.bloomCommitEvery == 0) {
         val merged = BloomDedup.mergeIndex(imgidx.read().get.select("bucket", "bloom"))
-        imgidx.commitBase(sliceClustered(merged.withColumn("images_snapshot", lit(head))),
+        imgidx.commitBase(sliceClustered(merged.withColumn("images_snapshot", lit(head)),
+          imageSliceCount),
           Map("compaction" -> 1.0, "run" -> runId.toDouble),
           covers = Some(head))
       }
@@ -571,7 +586,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         val head = images.latestDataSnapshot.getOrElse(0L)
         imgidx.commitBase(
           sliceClustered(merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
-            .toDF("bucket", "bloom", "images_snapshot")),
+            .toDF("bucket", "bloom", "images_snapshot"), imageSliceCount),
           Map("carried" -> 1.0), covers = Some(head))
         imageSlicedActive = true; imageBlooms = None
       } else imageBlooms = Some(merged)
@@ -677,7 +692,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = runId, coalesceTo = 1)
       if (runId % cfg.bloomCommitEvery == 0) {
         val merged = BloomDedup.mergeIndex(bloomidx.read().get.select("bucket", "bloom"))
-        bloomidx.commitBase(sliceClustered(merged.withColumn("fetchlog_snapshot", lit(runId))),
+        bloomidx.commitBase(sliceClustered(merged.withColumn("fetchlog_snapshot", lit(runId)),
+          sliceCount),
           Map("compaction" -> 1.0, "run" -> runId.toDouble),
           covers = Some(runId))
       }

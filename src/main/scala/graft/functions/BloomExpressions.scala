@@ -12,42 +12,57 @@ import org.apache.spark.util.sketch.BloomFilter
 
 import java.io.ByteArrayInputStream
 
-/** Executor-side runtime for [[BloomMightContain]]: per-thread cache of
-  * deserialized Bloom blocks, fed from a broadcast of the serialized
-  * block map. In its own object so generated Java calls it through the
-  * static forwarders. */
+/** Executor-side runtime for [[BloomMightContain]]: an EXECUTOR-GLOBAL
+  * cache of deserialized Bloom blocks, fed from a broadcast of the
+  * serialized block map. In its own object so generated Java calls it
+  * through the static forwarders.
+  *
+  * Why executor-global, not per-thread: a candidate partition carries
+  * MIXED buckets, so every task thread eventually touches every bucket
+  * of the active map/slice. A per-thread budget smaller than that
+  * working set degenerates to a deserialization PER ROW once its
+  * overflow wipe starts cycling — harmless at 10^6-key blocks (tens of
+  * KB), a bench-stalling pathology at 10^9-key blocks (tens of MB each;
+  * observed: every task thread pinned inside BloomFilter.readFrom). One
+  * shared map caps memory at ONE working set total instead of one per
+  * thread, and the working set always fits the budget by construction:
+  * the engine sizes broadcast maps and slices against
+  * `maxBroadcastBytes` (512 MB default) < this budget. */
 object BloomRuntime {
-  private final class Cache {
-    val m = scala.collection.mutable.HashMap.empty[Long, BloomFilter]
-    var bytes: Long = 0L
-  }
-  private val local = new ThreadLocal[Cache] {
-    override def initialValue() = new Cache
-  }
-  // per-thread cache budget in BYTES — 10^8-key indexes have multi-MB
-  // blocks, so an entry-count bound silently multiplies to gigabytes
-  // across task threads (measured OOM at 32 threads × 256 × 2.4 MB)
-  private val MaxCacheBytes = 64L * 1024 * 1024
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  // executor-wide budget in BYTES (overridable for small-heap deploys);
+  // overflow means the active epoch ROTATED (new index build / next
+  // slice) and the cached entries are stale — wipe-and-reload happens
+  // once per rotation, never per row
+  private val MaxCacheBytes: Long =
+    sys.props.get("graft.bloom.cacheBytes").map(_.toLong)
+      .getOrElse(1024L * 1024 * 1024)
 
-  /** Membership test against a broadcast block map. The per-thread cache
-    * means a block is deserialized once per (thread, epoch, bucket); the
-    * serialized bytes live once per executor in the broadcast — they
-    * never flow through a join (a joined binary column is re-copied out
-    * of its UnsafeRow for EVERY candidate row, which costs more than the
-    * exact anti-join Bloom is meant to save — measured, not theory). */
+  /** Membership test against a broadcast block map. A block is
+    * deserialized once per (executor, epoch, bucket) — concurrent first
+    * touches may race to deserialize, `putIfAbsent` keeps exactly one
+    * (Bloom reads are side-effect-free, so losers cost wasted work, not
+    * correctness). The serialized bytes live once per executor in the
+    * broadcast — they never flow through a join (a joined binary column
+    * is re-copied out of its UnsafeRow for EVERY candidate row, which
+    * costs more than the exact anti-join Bloom is meant to save —
+    * measured, not theory). */
   def test(epoch: Long, bucket: Int, hash: Long,
            bc: Broadcast[Map[Int, Array[Byte]]]): Boolean = {
     val key = epoch + bucket
-    val c = local.get()
-    var bf = c.m.getOrElse(key, null)
+    var bf = cache.get(key)
     if (bf == null) {
       bc.value.get(bucket) match {
         case None => return false // no block for this bucket → definitely unseen
         case Some(bytes) =>
-          if (c.bytes + bytes.length > MaxCacheBytes) { c.m.clear(); c.bytes = 0L }
+          if (cachedBytes.get() + bytes.length > MaxCacheBytes) {
+            // stale-epoch overflow: rare by construction (see class doc)
+            cache.clear(); cachedBytes.set(0L)
+          }
           bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-          c.m(key) = bf
-          c.bytes += bytes.length
+          val prev = cache.putIfAbsent(key, bf)
+          if (prev == null) cachedBytes.addAndGet(bytes.length.toLong) else bf = prev
       }
     }
     bf.mightContainLong(hash)
