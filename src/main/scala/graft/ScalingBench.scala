@@ -295,19 +295,27 @@ object ScalingBench {
          |fetchlog layout — per slice only |index|/8 is broadcast and the
          |probe's pushed IN(bucket,…) file-skips the seen scan, which is
          |never shuffled (the one-time table+index build is untimed and
-         |shared verbatim by both levels); image = deterministic codec
-         |encode + decode + 64-bit phash.
+         |shared verbatim by both levels). The dedupxxl pass reads ~9 GB
+         |of parquet (index + probed seen files) per pass, so past 8
+         |cores it is bound by page-cache/memory bandwidth, not CPU —
+         |its 8→32 column reads against the alloc control's, and its
+         |POINT is the absolute cost: a 8.4M-candidate batch dedups
+         |against a 10^9-key history in under a minute with nothing
+         |broadcast over |index|/slices and nothing shuffled over the
+         |history; image = deterministic codec encode + decode + 64-bit
+         |phash.
          |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
          |hostSalts 4): 34,999 fetches, 34,058 distinct URLs, 47,262
-         |stored image payloads — 65.5 s ≈ 534 urls/s at local[32],
-         |59.2 s ≈ 591 urls/s at local[8] (r02: 543 at local[32]; r01:
-         |202), INCLUDING frontier dedup, politeness planning, payload
-         |encode+phash and the snapshot commits. 8 cores edging 32 at
-         |this config is the politeness bound: per-run batches are budget-
-         |capped, so wall time is micro-run fixed cost × runs, not CPU —
-         |the per-stage table above is where compute scaling shows.
+         |stored image payloads — 50.4 s ≈ 695 urls/s at local[32],
+         |52.1 s ≈ 672 urls/s at local[8] (r3 mid-round: 534/591; r02:
+         |543 at local[32]; r01: 202), INCLUDING frontier dedup,
+         |politeness planning, payload encode+phash and the snapshot
+         |commits. 8 cores nearly matching 32 at this config is the
+         |politeness bound: per-run batches are budget-capped, so wall
+         |time is micro-run fixed cost × runs, not CPU — the per-stage
+         |table above is where compute scaling shows.
          |
          |Why efficiency flattens HERE and why it would not on a cluster:
          |the two CONTROL rows are the same box driven by PLAIN JVM THREADS
