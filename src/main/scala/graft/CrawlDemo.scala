@@ -35,15 +35,42 @@ object CrawlDemo {
       new SyntheticFetcher(webCfg), web.robots)
 
     engine.seed(web.seeds)
+    // jobs-per-run counter: micro-run cadence means per-run fixed cost
+    // (mostly job count × scheduling floor) IS the e2e throughput
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim).getOrElse("?")
+        jobSites.merge(site, 1L, (a, b) => a + b)
+      }
+    })
     val t0 = System.nanoTime()
-    val stats = engine.crawlAll()
+    // drive runs one by one so each gets a wall-time (fixed-cost audit)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(graft.crawl.RunStats, Double, Long)]
+    var continue = true
+    while (continue && stats.size < 64) {
+      val r0 = System.nanoTime()
+      val j0 = jobCount.get()
+      engine.runOnce() match {
+        case Some(s) =>
+          stats += ((s, (System.nanoTime() - r0) / 1e9, jobCount.get() - j0))
+        case None => continue = false
+      }
+    }
     val secs = (System.nanoTime() - t0) / 1e9
-    stats.foreach { s =>
+    stats.foreach { case (s, w, j) =>
       println(f"run ${s.run}%2d: scheduled=${s.scheduled}%5d ok=${s.fetchedOk}%5d " +
         f"fail=${s.failed}%3d newImages=${s.newImages}%5d newCand=${s.newCandidates}%5d " +
-        f"dedupDropped=${s.dedupDropped}%5d delay=${s.delayMsAfter}%6.1fms")
+        f"dedupDropped=${s.dedupDropped}%5d delay=${s.delayMsAfter}%6.1fms " +
+        f"wall=${w}%5.2fs jobs=$j%3d")
     }
-    val fetched = stats.map(_.scheduled).sum
+    import scala.jdk.CollectionConverters._
+    jobSites.asScala.toSeq.sortBy(-_._2).foreach { case (site, n) =>
+      println(f"JOBSITE $n%4d  $site")
+    }
+    val fetched = stats.map(_._1.scheduled).sum
     println(f"TOTAL: $fetched fetches, ${engine.seenSet().size} distinct URLs, " +
       f"${engine.imageTable().map(_.count()).getOrElse(0L)} images in $secs%.1fs " +
       f"(${fetched / secs}%.1f urls/s) tables at $root")
