@@ -105,9 +105,15 @@ object Bench {
     import graft.frontier.BloomDedup
     val seen = spark.range(nSeen)
       .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+    // candidate keys drawn UNIFORMLY over an 8×|seen| keyspace → ~12.5%
+    // true dups. NOT `id % (nSeen*8)`: with nCand < the modulus that is
+    // the identity, every seen key is a candidate, survivors blow the
+    // broadcast cap, and the bench silently times the shuffle FALLBACK
+    // instead of the scan-probe plan it claims to measure
+    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 8))
     val cand = spark.range(nCand)
-      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 8)).cast("string"))).as("url_hash"),
-        concat(lit("u"), (col("id") % (nSeen * 8)).cast("string")).as("url"))
+      .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
+        concat(lit("u"), keyIdx.cast("string")).as("url"))
     val blocks = BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, 64,
       expectedPerBucket = nSeen / 64 + 1)) // steady-state index, untimed
     val (_, secs) = timed {
@@ -127,9 +133,12 @@ object Bench {
     import graft.frontier.BloomDedup
     val seen = spark.range(nSeen)
       .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+    // uniform draw over 2×|seen| → ~50% dups (see benchDedupScan note on
+    // why a plain modulo of the row id is NOT a uniform draw)
+    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 2))
     val cand = spark.range(nCand)
-      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
-        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+      .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
+        concat(lit("u"), keyIdx.cast("string")).as("url"))
     val idx = BloomDedup.buildIndex(seen, numBuckets,
       expectedPerBucket = nSeen / numBuckets + 1).cache()
     idx.count()
@@ -172,9 +181,11 @@ object Bench {
     }
     val seen = spark.read.parquet(seenDir)
     val idx = spark.read.parquet(idxDir)
+    // uniform draw over 2×|seen| → ~50% dups (see benchDedupScan note)
+    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 2))
     val cand = spark.range(nCand)
-      .select(xxhash64(concat(lit("u"), (col("id") % (nSeen * 2)).cast("string"))).as("url_hash"),
-        concat(lit("u"), (col("id") % (nSeen * 2)).cast("string")).as("url"))
+      .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
+        concat(lit("u"), keyIdx.cast("string")).as("url"))
     val (_, secs) = timed {
       var kept = 0L
       val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,

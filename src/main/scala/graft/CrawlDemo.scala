@@ -47,17 +47,15 @@ object CrawlDemo {
       }
     })
     val t0 = System.nanoTime()
-    // drive runs one by one so each gets a wall-time (fixed-cost audit)
+    // per-run wall + job counts via crawlAll's instrumentation hook (the
+    // engine keeps the one crawl loop: maxRuns cap + end-of-crawl Bloom
+    // checkpoint flush, so resuming the printed root skips the rebuild)
     val stats = scala.collection.mutable.ArrayBuffer.empty[(graft.crawl.RunStats, Double, Long)]
-    var continue = true
-    while (continue && stats.size < 64) {
-      val r0 = System.nanoTime()
-      val j0 = jobCount.get()
-      engine.runOnce() match {
-        case Some(s) =>
-          stats += ((s, (System.nanoTime() - r0) / 1e9, jobCount.get() - j0))
-        case None => continue = false
-      }
+    var jPrev = jobCount.get()
+    engine.crawlAll { (s, wall) =>
+      val jNow = jobCount.get()
+      stats += ((s, wall, jNow - jPrev))
+      jPrev = jNow
     }
     val secs = (System.nanoTime() - t0) / 1e9
     stats.foreach { case (s, w, j) =>

@@ -278,11 +278,16 @@ object ScalingBench {
          |most exposed to the time-shared host's co-tenant drift (their
          |measured rates move ±35% between campaigns on identical code;
          |the table keeps the best interleaved trial per level). The
-         |SCAN-PROBE row's residual 2→8 gap is its eager
-         |`localCheckpoint` — every trial writes the full flagged batch
-         |to ONE local disk, a serial-IO term all cores share on this
-         |box; on a cluster each executor checkpoints its own partitions
-         |to its own disks, which is the axis the north rule scales.
+         |SCAN-PROBE row scales worst by construction: its per-pass cost
+         |is dominated by terms more cores cannot shrink — the eager
+         |`localCheckpoint` lands on ONE local disk (per-executor disks
+         |on a cluster), and the ~3M-survivor broadcast (12% of a 25M
+         |batch) is built single-threaded on the driver. That envelope is
+         |exactly why the engine's dedup plan is ADAPTIVE: high-survivor
+         |batches go to the shuffle plan (the legacy row, 0.8+), and
+         |scan-probe is reserved for the regime it wins — histories too
+         |large to shuffle per run (the SLICED rows) and batches whose
+         |survivors are small.
          |
          |Round-3 deltas: the per-run dedup plan is now ADAPTIVE — below
          |`scanProbeMinSeen` attempts the legacy conditional anti-join

@@ -53,6 +53,13 @@ final case class CrawlConfig(
     scanProbeMinSeen: Long = 8L * 1024 * 1024) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
+  // a broadcast map/slice that cannot fit the executor block cache
+  // degenerates the Bloom test to a deserialization per ROW — the
+  // sizing invariant the cache relies on must hold up front
+  require(maxBroadcastBytes <= graft.functions.BloomRuntime.MaxCacheBytes,
+    s"maxBroadcastBytes $maxBroadcastBytes exceeds the executor Bloom-block " +
+      s"cache budget ${graft.functions.BloomRuntime.MaxCacheBytes} " +
+      "(raise -Dgraft.bloom.cacheBytes to at least match)")
 }
 // the auto-flip slice count is ADAPTIVE in the index size — see
 // CrawlEngine.slicesFor (the fixed-cap autoSlices it replaces silently
@@ -545,6 +552,17 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val imageRowsB = imageRows.withColumn("bucket",
       pmod(xxhash64(col("image_id")), lit(cfg.bloomBuckets)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // broadcast image regime: collect the new id hashes BEFORE the
+    // commit (it also warms the write-side cache). The post-commit Bloom
+    // fold must be infallible once the manifest exists — a Spark collect
+    // failing AFTER the commit would leave stale in-memory blocks that
+    // mark the just-committed ids definitely-new on a same-session
+    // retry (the sliced regime is immune: its imgidx covers marker is
+    // validated durably and a mismatch forces a rebuild).
+    val preImageIdHashes: Array[Long] =
+      if (cfg.useBloom && !imageSlicedActive && imageScanRegime)
+        imageRowsB.select(xxhash64(col("image_id"))).as[Long].collect()
+      else Array.emptyLongArray
     val nNewImages = images.commitCounted(
       bucketSalted(imageRowsB, xxhash64(col("image_id")), (nOk / 5000 + 1).toInt),
       Map("run" -> runId.toDouble), None,
@@ -570,14 +588,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           covers = Some(head))
       }
     } else if (cfg.useBloom && imageScanRegime && nNewImages > 0) {
-      // broadcast image regime: the id collect is O(this run's NEW
-      // images) from the write-side cache — batch-bounded like the URL
-      // regime's observed hash set, skipped entirely on image-less runs
-      // and in the small-table regime (whose plain anti-join needs no
-      // Bloom at all — loadImageBlocks self-heals at the crossover)
-      val ih = imageRowsB.select(xxhash64(col("image_id"))).as[Long].collect()
+      // broadcast image regime: fold the PRE-collected id hashes (O(this
+      // run's NEW images), batch-bounded like the URL regime's observed
+      // hash set; skipped on image-less runs and in the small-table
+      // regime, whose plain anti-join needs no Bloom — loadImageBlocks
+      // self-heals at the crossover). Driver-local from here: no
+      // fallible Spark job between the manifest and the block fold.
       val merged = BloomDedup.addHashes(
-        imageBlooms.getOrElse(Map.empty), ih, cfg.bloomBuckets)
+        imageBlooms.getOrElse(Map.empty), preImageIdHashes, cfg.bloomBuckets)
       if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
         // the standing image blocks just outgrew the broadcast budget:
         // flip to the sliced image regime, CARRYING the blocks into the
@@ -729,15 +747,17 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       // (they compare against latestDataSnapshot).
       val mergeMetrics = Map("binpack" -> 1.0, "run" -> runId.toDouble)
       val packK = cfg.compactEvery * 2
-      fetchlog.mergeAppends(packK,
-        df => bucketSalted(df, col("url_hash"), cfg.bloomBuckets), mergeMetrics)
-      images.mergeAppends(packK,
-        df => bucketSalted(df, xxhash64(col("image_id")), cfg.bloomBuckets), mergeMetrics)
+      // pre-upgrade roots: the oldest dirs a pack rewrites may predate
+      // the `bucket` data column — re-clustering needs it, so fall back
+      // to a plain rewrite for those batches (later packs of new-layout
+      // dirs re-cluster as usual)
+      def reclustered(hash: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+        if (df.columns.contains("bucket")) bucketSalted(df, hash, cfg.bloomBuckets) else df
+      fetchlog.mergeAppends(packK, reclustered(col("url_hash")), mergeMetrics)
+      images.mergeAppends(packK, reclustered(xxhash64(col("image_id"))), mergeMetrics)
       frontier.mergeAppends(packK, _.coalesce(1), mergeMetrics)
-      fetchlog.mergeMerges(packK,
-        df => bucketSalted(df, col("url_hash"), cfg.bloomBuckets), mergeMetrics)
-      images.mergeMerges(packK,
-        df => bucketSalted(df, xxhash64(col("image_id")), cfg.bloomBuckets), mergeMetrics)
+      fetchlog.mergeMerges(packK, reclustered(col("url_hash")), mergeMetrics)
+      images.mergeMerges(packK, reclustered(xxhash64(col("image_id"))), mergeMetrics)
       frontier.mergeMerges(packK, _.coalesce(1), mergeMetrics)
     }
 
@@ -761,12 +781,15 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
   /** Crawl until drained (or the safety cap). Flushes the bloomidx
     * checkpoint at the end so a later resume skips the rebuild. */
-  def crawlAll(): Seq[RunStats] = {
+  def crawlAll(onRun: (RunStats, Double) => Unit = (_, _) => ()): Seq[RunStats] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunStats]
     var continue = true
     while (continue && out.size < cfg.maxRuns) {
+      val t0 = System.nanoTime()
       runOnce() match {
-        case Some(s) => out += s
+        case Some(s) =>
+          out += s
+          onRun(s, (System.nanoTime() - t0) / 1e9)
         case None => continue = false
       }
     }

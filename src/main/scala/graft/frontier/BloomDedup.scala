@@ -160,6 +160,12 @@ object BloomDedup {
       "a non-hash joinKey needs scanProbe mode")
     val bucketOf = (df: DataFrame) => pmod(col("url_hash"), lit(numBuckets)).cast("int")
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    // on a mid-loop failure, release the checkpoints already accrued for
+    // earlier slices — the cleanup thunk is only returned on success
+    def releaseAccrued(): Unit = cleanups.foreach { c =>
+      try c() catch { case _: Throwable => () }
+    }
+    try {
     var s = 0
     while (s < numSlices) {
       // concrete IN, not pmod(bucket)==s: the same bucket set, but PUSHABLE
@@ -201,6 +207,7 @@ object BloomDedup {
       }
       s += 1
     }
+    } catch { case t: Throwable => releaseAccrued(); throw t }
     () => cleanups.foreach(_.apply())
   }
 
@@ -245,11 +252,14 @@ object BloomDedup {
     val epoch = new java.security.SecureRandom().nextLong()
     val bc = sc.broadcast(blocks)
     val before = sc.getPersistentRDDs.keySet
-    val flagged = candidates.withColumn("__maybe",
-      graft.functions.BloomMightContain(epoch, bc,
-        pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
-      .localCheckpoint()
-    bc.destroy()
+    // destroy in finally: a task failure inside the eager checkpoint must
+    // not pin a flip-point-sized (≤ maxBroadcastBytes) block broadcast
+    val flagged =
+      try candidates.withColumn("__maybe",
+          graft.functions.BloomMightContain(epoch, bc,
+            pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
+        .localCheckpoint()
+      finally bc.destroy()
     val created = sc.getPersistentRDDs.keySet -- before
     val cleanup = () => created.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))

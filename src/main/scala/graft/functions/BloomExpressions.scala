@@ -35,7 +35,7 @@ object BloomRuntime {
   // overflow means the active epoch ROTATED (new index build / next
   // slice) and the cached entries are stale — wipe-and-reload happens
   // once per rotation, never per row
-  private val MaxCacheBytes: Long =
+  val MaxCacheBytes: Long =
     sys.props.get("graft.bloom.cacheBytes").map(_.toLong)
       .getOrElse(1024L * 1024 * 1024)
 
@@ -56,13 +56,26 @@ object BloomRuntime {
       bc.value.get(bucket) match {
         case None => return false // no block for this bucket → definitely unseen
         case Some(bytes) =>
-          if (cachedBytes.get() + bytes.length > MaxCacheBytes) {
-            // stale-epoch overflow: rare by construction (see class doc)
-            cache.clear(); cachedBytes.set(0L)
+          // the MISS path is serialized: misses happen once per (epoch,
+          // bucket) by design, and an unsynchronized check-then-act here
+          // both overshoots the budget by threads × blockSize (32 threads
+          // racing distinct 32 MB blocks ≈ +1 GB before any accounting
+          // lands) and lets a racing clear() corrupt the byte counter
+          // into premature per-row wipes. The hot path above stays
+          // lock-free; first-touch threads briefly queue behind one
+          // deserialization instead of all paying their own.
+          this.synchronized {
+            bf = cache.get(key)
+            if (bf == null) {
+              if (cachedBytes.get() + bytes.length > MaxCacheBytes) {
+                // stale-epoch overflow: rare by construction (class doc)
+                cache.clear(); cachedBytes.set(0L)
+              }
+              bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+              cache.put(key, bf)
+              cachedBytes.addAndGet(bytes.length.toLong)
+            }
           }
-          bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-          val prev = cache.putIfAbsent(key, bf)
-          if (prev == null) cachedBytes.addAndGet(bytes.length.toLong) else bf = prev
       }
     }
     bf.mightContainLong(hash)

@@ -82,7 +82,11 @@ object HeuristicConfigGenerator extends ConfigGenerator {
     // assembly over it is control-plane work, like the store itself
     val rows = scores(examplePages, htmlCol, targetFields)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      // hits is NULL (not 0) when there are zero example pages — sum()
+      // over an empty frame; the zero-page case must yield a
+      // zero-confidence config, not an NPE
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3), r.getLong(4)))
     val byField = rows.groupBy(_._1)
     val picked = targetFields.sorted.flatMap { f =>
       byField.get(f).map { cs =>

@@ -47,6 +47,16 @@ class WorkflowSpec extends AnyFunSuite {
       "zero-hit losers must not enter the fallback chain")
   }
 
+  test("heuristic bootstrap on ZERO example pages: zero-confidence config, no crash") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("id", "html")
+    val cfg = HeuristicConfigGenerator.generate(empty, "html", fields, "empty")
+    assert(cfg.selectors.keySet == fields.toSet, "every field still gets a (first-registry) selector")
+    assert(cfg.confidence.values.forall(_ == 0.0), "no evidence → zero confidence")
+    assert(cfg.fallbacks.isEmpty, "zero-hit losers must not enter fallback chains")
+  }
+
   test("full two-phase workflow: bootstrap persists the config, extraction uses the STORED copy, stats line up") {
     val spark = TestSpark.spark
     import spark.implicits._
