@@ -342,9 +342,10 @@ object ScalingBench {
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
          |hostSalts 4): 34,999 fetches, 34,058 distinct URLs, 47,262
-         |stored image payloads — 50.4 s ≈ 695 urls/s at local[32],
-         |52.1 s ≈ 672 urls/s at local[8] (r3 mid-round: 534/591; r02:
-         |543 at local[32]; r01: 202), INCLUDING frontier dedup,
+         |stored image payloads — best 50.4 s ≈ 695 urls/s at local[32],
+         |52.1 s ≈ 672 urls/s at local[8], with same-code trials on this
+         |time-shared host spreading 555-695 (r3 mid-round: 534/591;
+         |r02: 543 at local[32]; r01: 202), INCLUDING frontier dedup,
          |politeness planning, payload encode+phash and the snapshot
          |commits. 8 cores nearly matching 32 at this config is the
          |politeness bound: per-run batches are budget-capped, so wall
