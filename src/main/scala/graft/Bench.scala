@@ -162,25 +162,46 @@ object Bench {
     * min/max stats, and the seen side is never shuffled. The seen
     * parquet + Bloom index are built ONCE into `dir` (untimed; identical
     * bytes at every parallelism level) and reused across sessions. */
-  def benchDedupSlicedDisk(spark: SparkSession, nCand: Long, nSeen: Long, dir: String,
-                           numBuckets: Int = 64, numSlices: Int = 8): Double = {
+  /** Build (or reuse) the materialized seen table + Bloom index at `dir`
+    * in the engine's production fetchlog layout: bucket-range clustered
+    * AND hash-sorted within files (tight page-level column indexes — the
+    * point-lookup probe's substrate). Reuse gates on _SUCCESS markers
+    * plus a params fingerprint (ADVICE r03: a crashed build used to
+    * leave a partial dir later campaigns silently reused — missing Bloom
+    * blocks read as definitely-unseen — and changed params reused stale
+    * bytes). */
+  private def ensureSeenDisk(spark: SparkSession, nSeen: Long, dir: String,
+                             numBuckets: Int): (DataFrame, DataFrame) = {
     import graft.frontier.BloomDedup
+    import java.nio.file.{Files, Paths}
     val seenDir = s"$dir/seen"
     val idxDir = s"$dir/idx"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir))) {
+    val fpFile = Paths.get(dir, "params.json")
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"sorted-v2"}"""
+    val reusable = Files.exists(fpFile) && Files.readString(fpFile) == fp &&
+      Files.exists(Paths.get(seenDir, "_SUCCESS")) &&
+      Files.exists(Paths.get(idxDir, "_SUCCESS"))
+    if (!reusable) {
+      Files.createDirectories(Paths.get(dir))
+      Files.deleteIfExists(fpFile) // stale fingerprint first: crash-safe order
       val rows = spark.range(nSeen)
         .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
         .withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
-      // the engine's fetchlog clustering: each file spans ~1 bucket, so
-      // the probe's IN(bucket,…) skips whole files on footer stats
       rows.repartitionByRange(numBuckets * 2, col("bucket"), col("url_hash"))
+        .sortWithinPartitions(col("bucket"), col("url_hash"))
         .write.mode("overwrite").parquet(seenDir)
       BloomDedup.buildIndex(spark.read.parquet(seenDir), numBuckets,
           expectedPerBucket = nSeen / numBuckets + 1)
         .write.mode("overwrite").parquet(idxDir)
+      Files.writeString(fpFile, fp) // marker last: all bytes are in place
     }
-    val seen = spark.read.parquet(seenDir)
-    val idx = spark.read.parquet(idxDir)
+    (spark.read.parquet(seenDir), spark.read.parquet(idxDir))
+  }
+
+  def benchDedupSlicedDisk(spark: SparkSession, nCand: Long, nSeen: Long, dir: String,
+                           numBuckets: Int = 64, numSlices: Int = 8): Double = {
+    import graft.frontier.BloomDedup
+    val (seen, idx) = ensureSeenDisk(spark, nSeen, dir, numBuckets)
     // uniform draw over 2×|seen| → ~50% dups (see benchDedupScan note)
     val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 2))
     val cand = spark.range(nCand)
@@ -192,6 +213,92 @@ object Bench {
         scanProbe = true) { (_, df) => kept += df.count() }
       cleanup()
       kept
+    }
+    nCand / secs
+  }
+
+  /** The POINT-LOOKUP probe regime (VERDICT r03 #3): a small,
+    * mostly-fresh candidate batch (the steady drip of a mature crawl)
+    * against the same on-disk history as [[benchDedupSlicedDisk]].
+    * Survivors per slice stay inside dedupScan's point-lookup cap, so
+    * the probe pushes a literal IN(url_hash,…) into the hash-sorted
+    * seen scan — page-level point reads instead of a column scan of the
+    * touched buckets. Run against two history sizes, its cost ratio is
+    * the residual history term: the closer to 1× for 8× history, the
+    * better. */
+  def benchDedupPointLookup(spark: SparkSession, nCand: Long, nSeen: Long, dir: String,
+                            numBuckets: Int = 64, numSlices: Int = 8): Double = {
+    import graft.frontier.BloomDedup
+    val (seen, idx) = ensureSeenDisk(spark, nSeen, dir, numBuckets)
+    // uniform draw over 128×|seen| → ~0.8% true dups; with ~1% fpp the
+    // survivors stay well under pointLookupMaxRows per slice
+    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 128))
+    val cand = spark.range(nCand)
+      .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
+        concat(lit("u"), keyIdx.cast("string")).as("url"))
+    val (_, secs) = timed {
+      var kept = 0L
+      val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,
+        scanProbe = true) { (_, df) => kept += df.count() }
+      cleanup()
+      kept
+    }
+    nCand / secs
+  }
+
+  /** ENGINE-TRUE index point (VERDICT r03 #1 done-bar): candidates dedup
+    * through [[graft.crawl.CrawlEngine]]'s own adaptive plan over an
+    * index the ENGINE sized and built from its fetchlog — never a
+    * bench-sized one. At 10^8 seen keys the engine's geometry stays
+    * broadcastable (self-sized scan-probe); at 10^9 its estimated index
+    * bytes exceed the broadcast budget, so the engine enters the sliced
+    * regime organically and rebuilds the table-resident index
+    * distributively at its own geometry. The seen table materializes
+    * once per (size, dir); the engine's one-time index build is also
+    * untimed (steady-state: a crawl maintains it incrementally). */
+  def benchEngineDedup(spark: SparkSession, nCand: Long, nSeen: Long, dir: String)
+      : Double = {
+    import graft.crawl.{CrawlConfig, CrawlEngine}
+    import graft.table.SnapshotTable
+    import java.nio.file.{Files, Paths}
+    val numBuckets = 16 // the engine default — geometry derives the rest
+    val fpFile = Paths.get(dir, "engine_params.json")
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"engine-v1"}"""
+    if (!(Files.exists(fpFile) && Files.readString(fpFile) == fp)) {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(dir)) // engine roots must start clean (manifest ids)
+      Files.createDirectories(Paths.get(dir))
+      val log = new SnapshotTable(spark, s"$dir/fetchlog")
+      val rows = spark.range(nSeen)
+        .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
+        .withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
+        .repartitionByRange(numBuckets * 2, col("bucket"), col("url_hash"))
+        .sortWithinPartitions(col("bucket"), col("url_hash"))
+      log.commit(rows, Map("n_seed_history" -> nSeen.toDouble))
+      Files.writeString(fpFile, fp)
+    }
+    val engine = new CrawlEngine(spark, CrawlConfig(dir),
+      new graft.fetch.SyntheticFetcher(graft.web.WebConfig(1, 1)), Seq.empty)
+    // ~12.5% dups — the frontier-expansion regime whose survivors stay
+    // inside the broadcast probe cap (the 50% steady state is the sliced
+    // rows' job; here the ENGINE's plan choice is the thing under test)
+    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 8))
+    val cand = spark.range(nCand)
+      .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
+        concat(lit("u"), keyIdx.cast("string")).as("url"))
+    // untimed warm pass: lets the engine build/flip/rebuild its index at
+    // its own geometry (the crawl's steady state carries this forward)
+    val (warmOut, warmCleanup) = engine.dedupFrontier(cand.limit(1000))
+    warmOut.count(); warmCleanup()
+    val (_, secs) = timed {
+      val (out, cleanup) = engine.dedupFrontier(cand)
+      try out.count() finally cleanup()
     }
     nCand / secs
   }
@@ -253,6 +360,9 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // point-lookup probes push literal IN lists to parquet (the default
+      // threshold of 10 rewrites them to a useless min/max range)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -269,10 +379,18 @@ object Bench {
     // so the first timed query doesn't carry session start-up costs
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
 
-    val queryTimes = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val (_, secs) = timed(fn(spark, sfDir).count())
-      name -> secs
+    // interleaved best-of-3 (VERDICT r03 #4): the host is time-shared and
+    // single-shot readings drift ±35% between campaigns on identical
+    // code; three round-robin passes expose every query to the same
+    // minutes of co-tenant conditions, and the min per query is kept
+    val queryTimes = {
+      val best = scala.collection.mutable.LinkedHashMap(
+        headline.map(_ -> Double.MaxValue): _*)
+      for (_ <- 1 to 3; name <- headline) {
+        val (_, secs) = timed(SparkEntry.queries(name)(spark, sfDir).count())
+        best(name) = math.min(best(name), secs)
+      }
+      best.toSeq
     }
 
     // best-of-3 (like e2e below): the single-shot r02 reading regressed

@@ -51,6 +51,19 @@ object ScalingBench {
   val XxlCandN = 8L * 1024 * 1024
   val XxlDir = "target/bench_xxl"
 
+  // point-lookup probe regime (VERDICT r03 #3): small mostly-fresh batch,
+  // survivors inside the per-slice point-lookup cap → pushed IN(url_hash)
+  // page reads. Sized so total survivors (~0.8% dups + ~1% fpp) stay
+  // under 8 slices × 1024
+  val XxlpCandN = 256L * 1024
+
+  // ENGINE-TRUE index points (VERDICT r03 #1 done-bar): the engine sizes
+  // and builds its own index over a materialized fetchlog — 10^8 stays
+  // in its broadcast regime, 10^9 enters the sliced regime organically
+  val Eng8SeenN = 128L * 1024 * 1024
+  val Eng9SeenN = 1024L * 1024 * 1024
+  val EngCandN = 8L * 1024 * 1024
+
   private def trial(stage: String, spark: org.apache.spark.sql.SparkSession,
                     warm: Boolean): Double = stage match {
     case "fetch" =>
@@ -82,6 +95,16 @@ object ScalingBench {
     * keeps ONE session, builds the index once and takes the best of 3
     * timed dedup passes (still interleaved 8/32/8/32 across reps would pay
     * 6 multi-minute builds for no extra signal). */
+  /** Persist a (stage, level) point with ALL reps — the report renders
+    * median (best, spread), VERDICT r03 #7: best-of-N alone flatters on
+    * a ±35%-drift host. */
+  private def writePoint(stage: String, cores: Int, reps: Seq[Double]): Unit = {
+    val json = f"""{"stage":"$stage","cores":$cores,"rate":${reps.max}%.1f,""" +
+      s""""reps":[${reps.map(r => f"$r%.1f").mkString(",")}]}"""
+    Files.writeString(pointPath(stage, cores), json)
+    println(s"SCALING_POINT $json")
+  }
+
   def runPointXl(): Unit = {
     val levels = Seq(8, 32)
     Files.createDirectories(Paths.get("target"))
@@ -89,14 +112,12 @@ object ScalingBench {
       val spark = Bench.session(level.toString)
       try {
         Bench.benchDedupSliced(spark, 100000, 50000) // warm codegen
-        val best = (1 to 3).map { rep =>
+        val reps = (1 to 3).map { rep =>
           val r = Bench.benchDedupSliced(spark, XlCandN, XlSeenN)
           println(f"SCALING_TRIAL stage=dedupxl cores=$level rep=$rep rate=$r%.1f")
           r
-        }.max
-        val json = f"""{"stage":"dedupxl","cores":$level,"rate":$best%.1f}"""
-        Files.writeString(pointPath("dedupxl", level), json)
-        println(s"SCALING_POINT $json")
+        }
+        writePoint("dedupxl", level, reps)
       } finally { spark.stop(); System.gc() }
     }
   }
@@ -106,26 +127,61 @@ object ScalingBench {
     * pair shows per-run dedup cost is O(batch + pruned scan), not
     * O(history): 8× more history must cost far less than 8× (VERDICT
     * r02 #1 done-bar: per-run cost flat as crawl history grows). The
-    * seen parquet + index builds are one-time materializations shared
-    * by BOTH levels (identical input bytes — the scaling comparison
-    * only times the dedup passes). */
+    * `dedupxxlp`/`dedupxxlpc` twin pair is the same control through the
+    * POINT-LOOKUP probe regime (small mostly-fresh batch, survivors
+    * pushed as IN(url_hash) into the hash-sorted scan — VERDICT r03 #3).
+    * The seen parquet + index builds are one-time materializations
+    * shared by BOTH levels (identical input bytes — the scaling
+    * comparison only times the dedup passes). */
   def runPointXxl(): Unit = {
     val levels = Seq(8, 32)
-    val sizes = Seq(("dedupxxl", XxlSeenN, XxlDir), ("dedupxxlc", XxlSeenN / 8, s"$XxlDir/c"))
+    val sizes = Seq(
+      ("dedupxxl", XxlCandN, XxlSeenN, XxlDir, false),
+      ("dedupxxlc", XxlCandN, XxlSeenN / 8, s"$XxlDir/c", false),
+      ("dedupxxlp", XxlpCandN, XxlSeenN, XxlDir, true),
+      ("dedupxxlpc", XxlpCandN, XxlSeenN / 8, s"$XxlDir/c", true))
     Files.createDirectories(Paths.get("target"))
     levels.foreach { level =>
       val spark = Bench.session(level.toString)
       try {
         Bench.benchDedupSlicedDisk(spark, 100000, 50000, s"$XxlDir/warm") // warm codegen
-        sizes.foreach { case (stage, seenN, dir) =>
-          val best = (1 to 3).map { rep =>
-            val r = Bench.benchDedupSlicedDisk(spark, XxlCandN, seenN, dir)
+        sizes.foreach { case (stage, candN, seenN, dir, pointLookup) =>
+          val reps = (1 to 3).map { rep =>
+            val r =
+              if (pointLookup) Bench.benchDedupPointLookup(spark, candN, seenN, dir)
+              else Bench.benchDedupSlicedDisk(spark, candN, seenN, dir)
             println(f"SCALING_TRIAL stage=$stage cores=$level rep=$rep rate=$r%.1f")
             r
-          }.max
-          val json = f"""{"stage":"$stage","cores":$level,"rate":$best%.1f}"""
-          Files.writeString(pointPath(stage, level), json)
-          println(s"SCALING_POINT $json")
+          }
+          writePoint(stage, level, reps)
+        }
+      } finally { spark.stop(); System.gc() }
+    }
+  }
+
+  /** Engine-true points: the CrawlEngine's OWN adaptive dedup over an
+    * index it sized and built itself (broadcast regime at 10^8 keys,
+    * organic sliced regime at 10^9 — the flip fires from the engine's
+    * estimated index bytes, nothing is bench-sized). The engine's
+    * one-time index build lands in the root's bloomidx table during the
+    * warm pass and is REUSED by the second level's session — which also
+    * exercises durable index resume at bench scale. */
+  def runPointEng(): Unit = {
+    val levels = Seq(8, 32)
+    val sizes = Seq(
+      ("dedupeng8", Eng8SeenN, "target/bench_eng8"),
+      ("dedupeng9", Eng9SeenN, "target/bench_eng9"))
+    Files.createDirectories(Paths.get("target"))
+    levels.foreach { level =>
+      val spark = Bench.session(level.toString)
+      try {
+        sizes.foreach { case (stage, seenN, dir) =>
+          val reps = (1 to 3).map { rep =>
+            val r = Bench.benchEngineDedup(spark, EngCandN, seenN, dir)
+            println(f"SCALING_TRIAL stage=$stage cores=$level rep=$rep rate=$r%.1f")
+            r
+          }
+          writePoint(stage, level, reps)
         }
       } finally { spark.stop(); System.gc() }
     }
@@ -167,29 +223,26 @@ object ScalingBench {
   def runControl(): Unit = {
     Files.createDirectories(Paths.get("target"))
     for (kind <- Seq("codec", "alloc")) {
-      val best = scala.collection.mutable.Map(Seq(2, 8, 32).map(_ -> 0.0): _*)
+      val reps = scala.collection.mutable.Map(
+        Seq(2, 8, 32).map(_ -> Vector.empty[Double]): _*)
       for (rep <- 1 to 3; level <- Seq(2, 8, 32)) {
         if (rep == 1) controlTrial(level, kind) // warm JIT
         val r = controlTrial(level, kind)
-        best(level) = math.max(best(level), r)
+        reps(level) :+= r
         println(f"SCALING_TRIAL stage=ctl$kind cores=$level rep=$rep rate=$r%.1f")
       }
-      Seq(2, 8, 32).foreach { level =>
-        val json = f"""{"stage":"ctl$kind","cores":$level,"rate":${best(level)}%.1f}"""
-        Files.writeString(pointPath(s"ctl$kind", level), json)
-        println(s"SCALING_POINT $json")
-      }
+      Seq(2, 8, 32).foreach(level => writePoint(s"ctl$kind", level, reps(level)))
     }
   }
 
   def runPoint(stage: String, cores: Int): Unit = {
     val levels = Seq(2, 8, 32)
-    val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
+    val reps = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
     for (rep <- 1 to 3; level <- levels) {
       val spark = Bench.session(level.toString)
       try {
         val r = trial(stage, spark, warm = rep == 1)
-        best(level) = math.max(best(level), r)
+        reps(level) :+= r
         println(f"SCALING_TRIAL stage=$stage cores=$level rep=$rep rate=$r%.1f")
       } finally {
         spark.stop()
@@ -197,18 +250,33 @@ object ScalingBench {
       }
     }
     Files.createDirectories(Paths.get("target"))
-    levels.foreach { level =>
-      val json = f"""{"stage":"$stage","cores":$level,"rate":${best(level)}%.1f}"""
-      Files.writeString(pointPath(stage, level), json)
-      println(s"SCALING_POINT $json")
-    }
+    levels.foreach(level => writePoint(stage, level, reps(level)))
   }
 
   def report(): Unit = {
-    def read(stage: String, cores: Int): Option[Double] = {
+    // a point is best-of-reps; median + half-range spread render beside
+    // it (VERDICT r03 #7 — best-of-N alone flatters on a ±35%-drift host)
+    def readReps(stage: String, cores: Int): Option[Seq[Double]] = {
       val p = pointPath(stage, cores)
       if (!Files.exists(p)) return None
-      "\"rate\":([0-9.]+)".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
+      val text = Files.readString(p)
+      val reps = "\"reps\":\\[([0-9.,]+)\\]".r.findFirstMatchIn(text)
+        .map(_.group(1).split(",").toSeq.map(_.toDouble))
+      reps.orElse( // pre-reps point files: best only
+        "\"rate\":([0-9.]+)".r.findFirstMatchIn(text).map(m => Seq(m.group(1).toDouble)))
+    }
+    def read(stage: String, cores: Int): Option[Double] = readReps(stage, cores).map(_.max)
+    def median(rs: Seq[Double]): Double = {
+      val s = rs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def cell(stage: String, cores: Int): String = readReps(stage, cores) match {
+      case None => "—"
+      case Some(rs) if rs.size == 1 => f"${rs.head}%,.0f"
+      case Some(rs) =>
+        val m = median(rs)
+        val spreadPct = if (m == 0) 0.0 else (rs.max - rs.min) / m * 100
+        f"$m%,.0f (best ${rs.max}%,.0f, ±${spreadPct / 2}%.0f%%)"
     }
     val stages = Seq(
       "fetch" -> s"fetch+parse, CPU-bound ($FetchN URLs, 0 RTT)",
@@ -218,6 +286,10 @@ object ScalingBench {
       "dedupxl" -> s"SLICED dedup, beyond-broadcast ($XlCandN cand vs $XlSeenN seen, 8 slices)",
       "dedupxxl" -> s"SLICED scan-probe dedup, 10^9 on-disk seen ($XxlCandN cand vs $XxlSeenN seen, 8 slices)",
       "dedupxxlc" -> s"history-growth CONTROL: same plan/batch vs ${XxlSeenN / 8} seen (8x less history)",
+      "dedupxxlp" -> s"POINT-LOOKUP probe, 10^9 on-disk seen ($XxlpCandN cand, ~1% dup)",
+      "dedupxxlpc" -> s"point-lookup history CONTROL: same plan/batch vs ${XxlSeenN / 8} seen",
+      "dedupeng8" -> s"ENGINE-built index, broadcast regime ($EngCandN cand vs $Eng8SeenN engine-maintained seen)",
+      "dedupeng9" -> s"ENGINE-built index, organic SLICED regime ($EngCandN cand vs $Eng9SeenN engine-maintained seen)",
       "images" -> s"image payload+phash ($ImgN)")
     // raw-JVM controls render as extra rows but are EXCLUDED from the
     // computed headline claim — they measure the box, not the engine
@@ -230,9 +302,9 @@ object ScalingBench {
     val rawRows = (stages ++ controls).flatMap { case (k, label) =>
       (read(k, 8), read(k, 32)) match {
         case (Some(r8), Some(r32)) =>
-          val c2 = read(k, 2).map(r2 => (f"$r2%,.0f", f"${(r8 / r2) / 4.0}%.2f"))
-            .getOrElse(("—", "—"))
-          Some(f"| $label | ${c2._1} | $r8%,.0f | $r32%,.0f | ${c2._2} | ${(r32 / r8) / 4.0}%.2f |")
+          val eff2 = read(k, 2).map(r2 => f"${(r8 / r2) / 4.0}%.2f").getOrElse("—")
+          Some(s"| $label | ${cell(k, 2)} | ${cell(k, 8)} | ${cell(k, 32)} | $eff2 | " +
+            f"${(r32 / r8) / 4.0}%.2f |")
         case _ => None
       }
     }
@@ -252,6 +324,19 @@ object ScalingBench {
       s"""At the headline 2→8 pair, ${meets.size}/${effs.size} measured stages meet the
          |≥0.8 bar: ${if (meets.isEmpty) "none" else meets.mkString("; ")}.
          |${if (misses.isEmpty) "" else s"Below the bar this campaign: ${misses.mkString("; ")}."}""".stripMargin
+    // history-growth cost ratios COMPUTED from the same points the table
+    // renders (ADVICE r03: the hand-written "~2.7x" contradicted its own
+    // table — 4.2x at 8 cores, 2.5x at 32). Cost ratio for 8x history at
+    // level L = rate_control(L) / rate_full(L) (same batch both sides).
+    def ratioLine(full: String, ctrl: String): String =
+      Seq(8, 32).flatMap { l =>
+        for (rf <- read(full, l); rc <- read(ctrl, l)) yield f"${rc / rf}%.1fx at local[$l]"
+      } match {
+        case Nil => "not measured this campaign"
+        case rs => rs.mkString(", ")
+      }
+    val xxlRatio = ratioLine("dedupxxl", "dedupxxlc")
+    val xxlpRatio = ratioLine("dedupxxlp", "dedupxxlpc")
     val md =
       s"""# BENCH — measured throughput + scaling evidence
          |
@@ -262,9 +347,13 @@ object ScalingBench {
          |as a third point. Each (stage, level) trial runs interleaved
          |A/B/A/B across separate sessions (best of 3 per level) because the
          |host is time-shared and its deliverable CPU drifts minute to
-         |minute. Inputs are generated lazily from `spark.range` (nothing
-         |materialized — the 10^10-frontier scale path) and are identical at
-         |every level. Efficiency(N→4N) = (rate_4N / rate_N) / 4.
+         |minute. Rate cells read `median (best, ±spread)` over the reps;
+         |efficiencies use the best rep per level. The IN-MEMORY stages'
+         |inputs are generated lazily from `spark.range` (nothing
+         |materialized — the 10^10-frontier scale path) and are identical
+         |at every level; the on-disk rows (dedupxxl*, dedupeng*) read a
+         |seen table + index MATERIALIZED once and shared byte-identical
+         |by both levels. Efficiency(N→4N) = (rate_4N / rate_N) / 4.
          |
          || stage | local[2] rows/s | local[8] rows/s | local[32] rows/s | eff 2→8 | eff 8→32 |
          ||---|---|---|---|---|---|
@@ -329,15 +418,33 @@ object ScalingBench {
          |against a 10^9-key history in under a minute with nothing
          |broadcast over |index|/slices and nothing shuffled over the
          |history. The `dedupxxlc` row is the HISTORY-GROWTH control:
-         |the identical plan and batch against 8× less history — read
-         |the dedupxxlc/dedupxxl rate ratio per level (measured ~2.7×
-         |cost for 8× history at both levels): per-run dedup cost is
-         |O(batch) plus a residual history term that is a column-pruned,
-         |shuffle-free scan — the one term that grows with the crawl,
-         |and the one that parallelizes linearly with executor count
-         |(VERDICT r02 #1's flat-per-run-cost criterion, measured at
-         |three orders of magnitude beyond the engine specs); image =
-         |deterministic codec encode + decode + 64-bit phash.
+         |the identical plan and batch against 8× less history. Computed
+         |from this campaign's points, 8× history costs $xxlRatio on the
+         |50%-dup scan-probe pass: per-run dedup cost is O(batch) plus a
+         |residual history term that is a column-pruned, shuffle-free
+         |scan — the one term that grows with the crawl, and the one
+         |that parallelizes linearly with executor count (VERDICT r02
+         |#1's flat-per-run-cost criterion, measured at three orders of
+         |magnitude beyond the engine specs).
+         |
+         |The `dedupxxlp`/`dedupxxlpc` pair prices the SAME residual term
+         |at the mature crawl's operating point (a small, ~1%-dup batch)
+         |through the POINT-LOOKUP probe: survivor keys are pushed into
+         |the hash-sorted seen scan as a literal IN, so parquet row-group
+         |stats + page-level column indexes read pages, not columns.
+         |Computed from this campaign's points, 8× history costs
+         |$xxlpRatio on that pass — the closer to 1.0x, the flatter the
+         |per-run cost as the crawl grows.
+         |
+         |The `dedupeng8`/`dedupeng9` rows are ENGINE-TRUE (VERDICT r03
+         |#1): the index is sized and built by CrawlEngine itself from
+         |its own fetchlog — geometry from the manifest seen-set
+         |estimate, broadcast regime at 10^8 keys, an ORGANIC flip into
+         |the sliced regime at 10^9 (estimated index bytes exceed the
+         |broadcast budget) with the table-resident index rebuilt
+         |distributively at the engine's own geometry and REUSED across
+         |sessions (durable resume at bench scale). Image = deterministic
+         |codec encode + decode + 64-bit phash.
          |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
@@ -384,9 +491,10 @@ object ScalingBench {
     case "report" :: Nil => report()
     case "dedupxl" :: _ => runPointXl()
     case "dedupxxl" :: _ => runPointXxl()
+    case "dedupeng" :: _ => runPointEng()
     case "control" :: _ => runControl()
     case stage :: _ if Set("fetch", "fetchlat", "dedup", "dedupscan", "images")(stage) => runPoint(stage, 0)
     case _ =>
-      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|dedupxxl|images|control> | report")
+      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|dedupxxl|dedupeng|images|control> | report")
   }
 }

@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.fetch.{FetchStage, Fetcher}
-import graft.frontier.{BloomDedup, Politeness, Scheduler}
+import graft.frontier.{BloomDedup, BloomGeometry, Politeness, Scheduler}
 import graft.functions.UrlFunctions._
 import graft.images.ImageKit
 import graft.model._
@@ -50,7 +50,12 @@ final case class CrawlConfig(
       * jobs (checkpoint + survivor count) — measured on micro-run
       * crawls; above it the O(history) exchange is the thing that must
       * never happen. */
-    scanProbeMinSeen: Long = 8L * 1024 * 1024) {
+    scanProbeMinSeen: Long = 8L * 1024 * 1024,
+    /** Geometry floor: smallest expected-keys-per-bucket a Bloom block is
+      * ever built for. Production keeps the legacy-compatible default
+      * (old roots' blocks were built exactly there); specs lower it to
+      * exercise the resize schedule at toy scale. */
+    bloomCapacityFloor: Long = graft.frontier.BloomGeometry.MinCapacity) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   // a broadcast map/slice that cannot fit the executor block cache
@@ -128,6 +133,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // (the Spark-recommended setting for latency-sensitive small stages;
   // at cluster scale advisory-size coalescing is what you want anyway)
   spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+  // point-lookup probes (BloomDedup.dedupScan plan 2) push literal
+  // IN(url_hash, …) lists into the parquet scan; Spark's default
+  // threshold (10) would rewrite them to a min/max RANGE — useless over
+  // uniform hashes. Must exceed dedupScan's pointLookupMaxRows.
+  spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
   // standing Bloom index, maintained incrementally per run — O(batch)
   // per micro-run instead of rebuilding over the whole seen history
   private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
@@ -155,6 +165,41 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def scanProbeRegime: Boolean = seenRowsEst >= cfg.scanProbeMinSeen
   private def imageScanRegime: Boolean = imageRowsEst >= cfg.scanProbeMinSeen
 
+  // ---- Bloom index GEOMETRY (VERDICT r03 #1/#2) -----------------------
+  // Blocks used to be built at a fixed 65,536 expected keys/bucket, so
+  // the shipped prefilter saturated (fpp→1) ~3 decades below the benched
+  // regime and the auto-flip could never fire from genuine growth (bit
+  // arrays never grow). Geometry now derives from the manifest-based
+  // seen-set estimate on a doubling schedule — capacity per bucket up to
+  // `maxBlockBytes`, then bucket count (power-of-two multiples of the
+  // storage layout's cfg.bloomBuckets) — rebuilt through the existing
+  // tested rebuild paths, O(log seen) times per crawl. The standing
+  // geometry persists in the index manifests so a resumed engine probes
+  // with the blocks it actually finds.
+  private val maxBlockBytes: Long =
+    math.min(128L * 1024 * 1024, math.max(1L, cfg.maxBroadcastBytes / 4))
+  private def geomFor(rowsEst: Long): BloomGeometry =
+    BloomGeometry.forEstimate(rowsEst, cfg.bloomBuckets, maxBlockBytes,
+      cfg.bloomCapacityFloor)
+  private def minimalGeom: BloomGeometry =
+    BloomGeometry(cfg.bloomBuckets, cfg.bloomCapacityFloor)
+  private def storedGeom(idx: SnapshotTable): Option[BloomGeometry] =
+    idx.latestSnapshot.map { n =>
+      BloomGeometry(
+        idx.metricOf(n, "index_buckets").map(_.toInt).getOrElse(cfg.bloomBuckets),
+        idx.metricOf(n, "expected_per_bucket").map(_.toLong)
+          .getOrElse(BloomGeometry.MinCapacity))
+    }
+  private def geomMetrics(g: BloomGeometry): Map[String, Double] = Map(
+    "index_buckets" -> g.indexBuckets.toDouble,
+    "expected_per_bucket" -> g.capacityPerBucket.toDouble)
+  private var urlGeom: BloomGeometry = storedGeom(bloomidx).getOrElse(
+    geomFor(seenRowsEst))
+  private var imgGeom: BloomGeometry = storedGeom(imgidx).getOrElse(
+    geomFor(imageRowsEst))
+  /** The URL index geometry in force (test/observability hook). */
+  def urlIndexGeometry: BloomGeometry = urlGeom
+
   /** Which image-dedup regime governs (test/observability hook). */
   def imageSlicedRegimeActive: Boolean = imageSlicedActive
   // true once the sliced (beyond-broadcast) regime governs dedup + index
@@ -166,27 +211,21 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // index onto the driver (a driver OOM at the scale that caused the flip)
   private var slicedActive: Boolean =
     cfg.bloomSlices > 1 || (cfg.useBloom && bloomidx.latestCovers.nonEmpty)
-  /** Slice count for a sliced-regime index over ~`rowsEst` keys. An
-    * explicit bloomSlices wins; otherwise ADAPTIVE in the index size:
-    * the smallest divisor of bloomBuckets (≥2) whose per-slice block
-    * share fits maxBroadcastBytes (~1.2 bytes/key at the builder's 1%
-    * fpp), falling back to one bucket per slice. A fixed cap (the old
-    * autoSlices ≤8) silently reintroduced the broadcast memory bound as
-    * the seen set kept growing past the flip point (a 10^10-key index
-    * is ~12 GB — 1.5 GB per slice at 8). The attempt-row estimate
-    * over-counts distinct URLs, erring toward MORE slices — the
-    * memory-safe direction. */
-  private def slicesFor(rowsEst: Long): Int =
+  /** Slice count for a sliced-regime index at geometry `g`. An explicit
+    * bloomSlices wins; otherwise ADAPTIVE in the ESTIMATED index size:
+    * the smallest divisor of the geometry's bucket count (≥2) whose
+    * per-slice block share fits maxBroadcastBytes, falling back to one
+    * bucket per slice — which ALWAYS fits, because the geometry schedule
+    * caps a single block at maxBlockBytes ≤ maxBroadcastBytes/4 (VERDICT
+    * r03 #2: at fixed buckets a 10^10-key index left ~750 MB per bucket
+    * with nothing to subdivide). A fixed cap (the old autoSlices ≤8)
+    * silently reintroduced the broadcast memory bound as the seen set
+    * kept growing past the flip point. */
+  private def slicesFor(g: BloomGeometry): Int =
     if (cfg.bloomSlices > 1) cfg.bloomSlices
-    else {
-      val estIndexBytes = math.max(1L, (rowsEst * 1.2).toLong)
-      val needed = math.max(2L,
-        (estIndexBytes + cfg.maxBroadcastBytes - 1) / cfg.maxBroadcastBytes)
-      (needed.min(cfg.bloomBuckets.toLong).toInt to cfg.bloomBuckets)
-        .find(cfg.bloomBuckets % _ == 0).getOrElse(cfg.bloomBuckets)
-    }
-  private def sliceCount: Int = slicesFor(seenRowsEst)
-  private def imageSliceCount: Int = slicesFor(imageRowsEst)
+    else BloomGeometry.slicesFitting(g, cfg.maxBroadcastBytes)
+  private def sliceCount: Int = slicesFor(urlGeom)
+  private def imageSliceCount: Int = slicesFor(imgGeom)
 
   /** Which dedup regime governs (test/observability hook). */
   def slicedRegimeActive: Boolean = slicedActive
@@ -204,7 +243,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     bloomidx.commitBase(
       sliceClustered(blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
         .toDF("bucket", "bloom", "fetchlog_snapshot"), sliceCount),
-      Map("carried" -> 1.0), covers = Some(head))
+      Map("carried" -> 1.0) ++ geomMetrics(urlGeom), covers = Some(head))
     slicedActive = true
     bloomBlocks = None
   }
@@ -220,11 +259,29 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     * splits a hot bucket across several tasks (the within-bucket
     * salting), and task count adapts to the batch size. Cost: the range
     * partitioner's one sampling pass — the callers feed it cached
-    * frames, so nothing expensive recomputes. */
+    * frames, so nothing expensive recomputes.
+    *
+    * Rows are additionally SORTED within each file on (bucket, hash):
+    * parquet's per-page min/max column indexes then stay tight on the
+    * hash, which is what turns the point-lookup probe's pushed
+    * IN(url_hash,…) into page-level point reads (VERDICT r03 #3).
+    *
+    * Small batches (`targetTasks ≤ 1` — micro-run commits) skip the
+    * range partitioner entirely: its sampling pass is a whole extra job
+    * per commit, a measured slice of the micro-run fixed-cost floor
+    * (VERDICT r03 #5). One hash-sorted file is written instead; it spans
+    * all buckets (footer min/max won't skip it) but it is small and
+    * short-lived — the bin-pack merges re-cluster through the range path
+    * on the next compaction, exactly Iceberg's write-optimized-commit /
+    * read-optimized-after-rewrite split. */
   private def bucketSalted(df: DataFrame, hash: org.apache.spark.sql.Column,
                            targetTasks: Int): DataFrame =
-    df.repartitionByRange(math.max(cfg.bloomBuckets, targetTasks),
-      col("bucket"), hash)
+    if (targetTasks <= 1)
+      df.repartition(1).sortWithinPartitions(col("bucket"), hash)
+    else
+      df.repartitionByRange(math.max(cfg.bloomBuckets, targetTasks),
+        col("bucket"), hash)
+        .sortWithinPartitions(col("bucket"), hash)
 
   /** Slice-clustered FULL-index write (NOTES r3 #3): block rows grouped
     * into files by the slice their bucket belongs to (range on
@@ -245,11 +302,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def loadBloomBlocks(seen: DataFrame): Map[Int, Array[Byte]] =
     bloomBlocks.getOrElse {
       val logSnap = fetchlog.latestDataSnapshot.getOrElse(0L)
-      // sliced-mode commits carry covers markers and hold per-run DELTA
-      // rows — not trustworthy as a full block map; force the rebuild when
-      // this root was last written by the sliced regime
+      // sliced-mode commits carry covers markers and hold sliced-geometry
+      // bases — not trustworthy as a broadcast block map; also reject
+      // checkpoints built at a geometry other than the one in force (a
+      // resize rebuild just advanced urlGeom past the stored blocks)
       val fromTable =
-        if (bloomidx.latestCovers.nonEmpty) None
+        if (bloomidx.latestCovers.nonEmpty || !storedGeom(bloomidx).contains(urlGeom)) None
         else bloomidx.read().flatMap { df =>
           val rows = df.filter(col("fetchlog_snapshot") === logSnap)
             .select("bucket", "bloom").collect()
@@ -257,10 +315,42 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
           else Some(rows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
         }
       val blocks = fromTable.getOrElse(
-        BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, cfg.bloomBuckets)))
+        BloomDedup.collectBlocks(BloomDedup.buildIndex(seen, urlGeom.indexBuckets,
+          urlGeom.capacityPerBucket)))
       bloomBlocks = Some(blocks)
       blocks
     }
+
+  /** Broadcast-regime blocks for the URL index — or None when this call
+    * flipped the engine to the sliced regime. Growth is checked FIRST:
+    * once the seen estimate outgrows the standing geometry's capacity,
+    * the blocks rebuild one geometry step up (the doubling schedule —
+    * O(log seen) rebuilds per crawl, each keeping the prefilter at its
+    * 1% fpp target instead of saturating). If the resized index could no
+    * longer broadcast, the engine flips instead and the sliced side
+    * rebuilds DISTRIBUTEDLY at the right geometry — the index must not
+    * transit the driver at exactly the size that caused the flip. */
+  private def broadcastBlocksOrFlip(seen: DataFrame): Option[Map[Int, Array[Byte]]] = {
+    if (seenRowsEst > urlGeom.totalCapacity) {
+      urlGeom = geomFor(seenRowsEst)
+      bloomBlocks = None // resize: rebuild below (or distributively after the flip)
+    }
+    // flip BEFORE building when the schedule already knows the index
+    // cannot broadcast (estimated bytes — VERDICT r03 #1: the flip fires
+    // from the estimate, not from bit arrays that never grow). The
+    // MINIMAL geometry is exempt: it is the smallest possible index (a
+    // few hundred KB at default buckets), and building it first keeps
+    // the carried-blocks flip for artificially tiny budgets.
+    val minimal = urlGeom == minimalGeom
+    if (bloomBlocks.isEmpty && !minimal && urlGeom.totalBytes > cfg.maxBroadcastBytes) {
+      slicedActive = true
+      return None
+    }
+    val blocks = loadBloomBlocks(seen)
+    if (blocks.valuesIterator.map(_.length.toLong).sum <= cfg.maxBroadcastBytes)
+      Some(blocks)
+    else { flipToSliced(blocks); None }
+  }
 
   /** The image-id Bloom blocks, built from the committed payload table on
     * first use (the only full image_id column scan per engine lifetime)
@@ -268,23 +358,64 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   private def loadImageBlocks(existing: DataFrame): Map[Int, Array[Byte]] =
     imageBlooms.getOrElse {
       val blocks = BloomDedup.collectBlocks(BloomDedup.buildIndex(
-        existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets))
+        existing.select(xxhash64(col("image_id")).as("url_hash")), imgGeom.indexBuckets,
+        imgGeom.capacityPerBucket))
       imageBlooms = Some(blocks)
       blocks
     }
 
-  /** The sliced-mode image-id index rows, validated fresh against the
-    * images head; stale (crash between the images commit and the imgidx
-    * append) → rebuild distributively — the twin of [[slicedIndexRows]]. */
+  /** [[broadcastBlocksOrFlip]]'s image-id twin. */
+  private def imageBlocksOrFlip(existing: DataFrame): Option[Map[Int, Array[Byte]]] = {
+    if (imageRowsEst > imgGeom.totalCapacity) {
+      imgGeom = geomFor(imageRowsEst)
+      imageBlooms = None
+    }
+    val minimal = imgGeom == minimalGeom
+    if (imageBlooms.isEmpty && !minimal && imgGeom.totalBytes > cfg.maxBroadcastBytes) {
+      imageSlicedActive = true
+      return None
+    }
+    val blocks = loadImageBlocks(existing)
+    if (blocks.valuesIterator.map(_.length.toLong).sum <= cfg.maxBroadcastBytes)
+      Some(blocks)
+    else { flipImageToSliced(blocks); None }
+  }
+
+  /** [[flipToSliced]]'s image twin: carry the standing blocks into imgidx
+    * as the sliced image regime's initial base — one O(blocks) write,
+    * never an O(ids) rebuild. */
+  private def flipImageToSliced(blocks: Map[Int, Array[Byte]]): Unit = {
+    val head = images.latestDataSnapshot.getOrElse(0L)
+    imgidx.commitBase(
+      sliceClustered(blocks.toSeq.map { case (b, bytes) => (b, bytes, head) }
+        .toDF("bucket", "bloom", "images_snapshot"), imageSliceCount),
+      Map("carried" -> 1.0) ++ geomMetrics(imgGeom), covers = Some(head))
+    imageSlicedActive = true
+    imageBlooms = None
+  }
+
+  /** The sliced-mode image-id index rows. The base need only cover SOME
+    * images snapshot ≤ the head — ids committed since are caught exactly
+    * by the recent-delta anti-join in the dedup path, so the old
+    * crash-window staleness (commit lands, index append lost) is gone by
+    * construction. Rebuild fires only when no usable base exists (fresh
+    * sliced root, covers > head after a lost images manifest) or the id
+    * estimate outgrew the stored geometry — the twin of
+    * [[slicedIndexRows]]. */
   private def imageIndexRows(existing: DataFrame): DataFrame = {
     val head = images.latestDataSnapshot.getOrElse(0L)
-    if (!imgidx.latestCovers.contains(head)) {
+    val stored = storedGeom(imgidx)
+    val coversOk = imgidx.latestCovers.exists(_ <= head)
+    val geomOk = stored.exists(_.totalCapacity >= imageRowsEst)
+    if (!coversOk || !geomOk) {
+      imgGeom = geomFor(imageRowsEst)
       val full = BloomDedup.buildIndex(
-        existing.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
+        existing.select(xxhash64(col("image_id")).as("url_hash")), imgGeom.indexBuckets,
+        imgGeom.capacityPerBucket)
       imgidx.commitBase(sliceClustered(full.withColumn("images_snapshot", lit(head)),
           imageSliceCount),
-        Map("rebuild" -> 1.0), covers = Some(head))
-    }
+        Map("rebuild" -> 1.0) ++ geomMetrics(imgGeom), covers = Some(head))
+    } else stored.foreach(g => imgGeom = g)
     imgidx.read().get.select("bucket", "bloom")
   }
 
@@ -309,19 +440,26 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       if (df.columns.contains("bucket")) df.select("url_hash", "bucket")
       else df.select("url_hash"))
 
-  /** The sliced-mode Bloom index rows `(bucket, bloom)`, validated fresh
-    * against the fetchlog head; stale (crash between the fetchlog commit
-    * and the index append, or a fresh engine on an old root) → rebuild
-    * the full index DISTRIBUTEDLY and commit it as a new base — the index
-    * never transits the driver in this regime. */
+  /** The sliced-mode Bloom index rows `(bucket, bloom)`. The base need
+    * only cover SOME fetchlog snapshot ≤ the head — keys attempted since
+    * are caught exactly by the recent-delta anti-join in [[dedupVsSeen]].
+    * Rebuild (DISTRIBUTED — the index never transits the driver in this
+    * regime) fires only when no usable base exists (fresh sliced root;
+    * covers > head after a lost fetchlog manifest) or the seen estimate
+    * outgrew the stored geometry (the doubling schedule at sliced
+    * scale). */
   private def slicedIndexRows(seen: DataFrame): DataFrame = {
     val head = fetchlog.latestDataSnapshot.getOrElse(0L)
-    if (!bloomidx.latestCovers.contains(head)) {
-      val full = BloomDedup.buildIndex(seen, cfg.bloomBuckets)
+    val stored = storedGeom(bloomidx)
+    val coversOk = bloomidx.latestCovers.exists(_ <= head)
+    val geomOk = stored.exists(_.totalCapacity >= seenRowsEst)
+    if (!coversOk || !geomOk) {
+      urlGeom = geomFor(seenRowsEst)
+      val full = BloomDedup.buildIndex(seen, urlGeom.indexBuckets, urlGeom.capacityPerBucket)
       bloomidx.commitBase(sliceClustered(full.withColumn("fetchlog_snapshot", lit(head)),
           sliceCount),
-        Map("rebuild" -> 1.0), covers = Some(head))
-    }
+        Map("rebuild" -> 1.0) ++ geomMetrics(urlGeom), covers = Some(head))
+    } else stored.foreach(g => urlGeom = g)
     bloomidx.read().get.select("bucket", "bloom")
   }
 
@@ -343,29 +481,42 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     case None => (df, () => ())
     case Some(seen) if !cfg.useBloom =>
       (BloomDedup.dedup(df, seen, None, cfg.bloomBuckets), () => ())
-    case Some(seen) if !slicedActive &&
-        { // broadcast regime while the standing map fits the budget;
-          // outgrowing it flips to the sliced regime permanently, with
-          // the standing blocks carried into the table (no rebuild)
-          val blocks = loadBloomBlocks(seen)
-          val fits = blocks.valuesIterator.map(_.length.toLong).sum <= cfg.maxBroadcastBytes
-          if (!fits) flipToSliced(blocks)
-          fits
-        } =>
-      // adaptive plan: below scanProbeMinSeen the conditional anti-join
-      // embeds in the consumers' own actions (zero extra jobs); above
-      // it, scan-probe keeps the seen side out of every exchange
-      if (!scanProbeRegime)
-        (BloomDedup.dedupWithBlocks(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets),
-          () => ())
-      else BloomDedup.dedupScan(df, seen, loadBloomBlocks(seen), cfg.bloomBuckets)
     case Some(seen) =>
-      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      val cleanup = BloomDedup.dedupSliced(df, seen, slicedIndexRows(seen),
-        cfg.bloomBuckets, sliceCount, scanProbe = true) { (_, out) =>
-        parts += out
+      val viaBroadcast =
+        if (slicedActive) None
+        else broadcastBlocksOrFlip(seen).map { blocks =>
+          // adaptive plan: below scanProbeMinSeen the conditional anti-join
+          // embeds in the consumers' own actions (zero extra jobs); above
+          // it, scan-probe keeps the seen side out of every exchange
+          if (!scanProbeRegime)
+            (BloomDedup.dedupWithBlocks(df, seen, blocks, urlGeom.indexBuckets), () => ())
+          else BloomDedup.dedupScan(df, seen, blocks, urlGeom.indexBuckets,
+            storageBuckets = cfg.bloomBuckets)
+        }
+      viaBroadcast.getOrElse {
+        // sliced regime: the table-resident base blocks cover the fetchlog
+        // up to their covers marker; keys attempted SINCE are caught by an
+        // exact anti-join against the recent fetchlog delta (bounded:
+        // ≤ bloomCommitEvery runs of batches — folded into the base at
+        // compaction cadence). Per-run index appends are gone (VERDICT
+        // r03 #5: one fewer commit per run, and no mergeInPlace between
+        // geometry-sized base blocks and batch-sized deltas).
+        val idxRows = slicedIndexRows(seen)
+        val c0 = bloomidx.latestCovers.getOrElse(0L)
+        val head = fetchlog.latestDataSnapshot.getOrElse(0L)
+        val cand = fetchlog.readBetween(c0, head) match {
+          case Some(recent) =>
+            df.join(recent.select("url_hash"), Seq("url_hash"), "left_anti")
+          case None => df
+        }
+        val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        val cleanup = BloomDedup.dedupSliced(cand, seen, idxRows,
+          urlGeom.indexBuckets, sliceCount, scanProbe = true,
+          storageBuckets = cfg.bloomBuckets) { (_, out) =>
+          parts += out
+        }
+        (parts.reduce(_.unionByName(_)), cleanup)
       }
-      (parts.reduce(_.unionByName(_)), cleanup)
   }
 
   /** Rebuild the pending work set from first principles — frontier ∖ seen
@@ -500,23 +651,43 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // Past the Bloom budget: batch-bounded new ids broadcast into a
     // semi-join against the pruned scan — still never a history shuffle.
     val newIdsKeyed = newIds.withColumn("url_hash", xxhash64(col("image_id")))
+    // beyond-broadcast image regime: per-slice blocks from imgidx,
+    // broadcast/destroyed per slice, exact probes stay image_id-keyed;
+    // ids committed since the base's covers marker are caught by an exact
+    // anti-join against the recent images delta (the URL path's twin)
+    def slicedImageDedup(existing: DataFrame, seenIds: DataFrame)
+        : (DataFrame, () => Unit) = {
+      val idxRows = imageIndexRows(existing)
+      val c0 = imgidx.latestCovers.getOrElse(0L)
+      val head = images.latestDataSnapshot.getOrElse(0L)
+      val cand = images.readBetween(c0, head) match {
+        case Some(recent) =>
+          newIdsKeyed.join(recent.select("image_id"), Seq("image_id"), "left_anti")
+        case None => newIdsKeyed
+      }
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val cleanup = BloomDedup.dedupSliced(cand, seenIds, idxRows,
+        imgGeom.indexBuckets, imageSliceCount, scanProbe = true,
+        joinKey = "image_id", storageBuckets = cfg.bloomBuckets) { (_, out) =>
+        parts += out
+      }
+      (parts.reduce(_.unionByName(_)), cleanup)
+    }
     val (unseenKeyed, imgCleanup) = images.read() match {
       case None => (newIdsKeyed, () => ())
       case Some(existing) =>
         val seenCols = col("image_id") +:
           (if (existing.columns.contains("bucket")) Seq(col("bucket")) else Nil)
         val seenIds = existing.select(seenCols: _*)
-        if (cfg.useBloom && imageSlicedActive) {
-          // beyond-broadcast image regime: per-slice blocks from imgidx,
-          // broadcast/destroyed per slice, exact probes stay image_id-keyed
-          val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-          val cleanup = BloomDedup.dedupSliced(newIdsKeyed, seenIds,
-            imageIndexRows(existing), cfg.bloomBuckets, imageSliceCount,
-            scanProbe = true, joinKey = "image_id") { (_, out) => parts += out }
-          (parts.reduce(_.unionByName(_)), cleanup)
-        } else if (cfg.useBloom && imageScanRegime)
-          BloomDedup.dedupScan(newIdsKeyed, seenIds, loadImageBlocks(existing),
-            cfg.bloomBuckets, joinKey = "image_id")
+        if (cfg.useBloom && imageSlicedActive) slicedImageDedup(existing, seenIds)
+        else if (cfg.useBloom && imageScanRegime)
+          imageBlocksOrFlip(existing) match {
+            case Some(blocks) =>
+              BloomDedup.dedupScan(newIdsKeyed, seenIds, blocks,
+                imgGeom.indexBuckets, joinKey = "image_id",
+                storageBuckets = cfg.bloomBuckets)
+            case None => slicedImageDedup(existing, seenIds) // flipped this run
+          }
         else
           // small-table regime (and the no-Bloom path): the plain
           // anti-join embeds in the commit's own action — zero extra jobs
@@ -570,22 +741,30 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // Bloom maintenance IMMEDIATELY after the commit (before any other
     // fallible step): once the manifest exists the blocks must cover it,
     // or a same-session retry could see a committed id as definitely-new.
-    if (cfg.useBloom && imageSlicedActive && nNewImages > 0) {
-      // sliced image regime: append this run's id blocks as index rows
-      // (distributed build from the write-side cache, merged per bucket
-      // at read time); compact every bloomCommitEvery image-bearing runs
-      val head = images.latestDataSnapshot.getOrElse(0L)
-      val runIdx = BloomDedup.buildIndex(
-        imageRowsB.select(xxhash64(col("image_id")).as("url_hash")), cfg.bloomBuckets)
-        .withColumn("images_snapshot", lit(head))
-      imgidx.commitCovering(runIdx, Map("run" -> runId.toDouble),
-        covers = head, coalesceTo = 1)
-      if (runId % cfg.bloomCommitEvery == 0) {
-        val merged = BloomDedup.mergeIndex(imgidx.read().get.select("bucket", "bloom"))
-        imgidx.commitBase(sliceClustered(merged.withColumn("images_snapshot", lit(head)),
-          imageSliceCount),
-          Map("compaction" -> 1.0, "run" -> runId.toDouble),
-          covers = Some(head))
+    if (cfg.useBloom && imageSlicedActive) {
+      // sliced image regime: NO per-run index append — ids since the
+      // base's covers marker ride the recent-delta anti-join exactly
+      // (crash-safe by construction: the delta is read off the committed
+      // table itself). Every bloomCommitEvery runs the delta FOLDS into
+      // the base distributively (raw id hashes — geometry-sized per-run
+      // delta blocks would each be full-index-sized and refuse
+      // mergeInPlace); skipped when the geometry is due to grow, since
+      // the next dedup's rebuild subsumes the fold.
+      if (runId % cfg.bloomCommitEvery == 0 && imgidx.read().nonEmpty &&
+          storedGeom(imgidx).exists(_.totalCapacity >= imageRowsEst)) {
+        val c0 = imgidx.latestCovers.getOrElse(0L)
+        val head = images.latestDataSnapshot.getOrElse(0L)
+        images.readBetween(c0, head).foreach { recent =>
+          val folded = BloomDedup.foldHashes(
+            BloomDedup.mergeIndex(imgidx.read().get.select("bucket", "bloom")),
+            recent.select(xxhash64(col("image_id")).as("url_hash")),
+            imgGeom.indexBuckets, imgGeom.capacityPerBucket)
+          imgidx.commitBase(
+            sliceClustered(folded.withColumn("images_snapshot", lit(head)),
+              imageSliceCount),
+            Map("compaction" -> 1.0, "run" -> runId.toDouble) ++ geomMetrics(imgGeom),
+            covers = Some(head))
+        }
       }
     } else if (cfg.useBloom && imageScanRegime && nNewImages > 0) {
       // broadcast image regime: fold the PRE-collected id hashes (O(this
@@ -595,19 +774,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       // self-heals at the crossover). Driver-local from here: no
       // fallible Spark job between the manifest and the block fold.
       val merged = BloomDedup.addHashes(
-        imageBlooms.getOrElse(Map.empty), preImageIdHashes, cfg.bloomBuckets)
-      if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
+        imageBlooms.getOrElse(Map.empty), preImageIdHashes, imgGeom.indexBuckets,
+        imgGeom.capacityPerBucket)
+      if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes)
         // the standing image blocks just outgrew the broadcast budget:
-        // flip to the sliced image regime, CARRYING the blocks into the
-        // imgidx table as its initial base (the URL flip's twin — one
-        // O(blocks) write, never an O(ids) rebuild)
-        val head = images.latestDataSnapshot.getOrElse(0L)
-        imgidx.commitBase(
-          sliceClustered(merged.toSeq.map { case (b, bytes) => (b, bytes, head) }
-            .toDF("bucket", "bloom", "images_snapshot"), imageSliceCount),
-          Map("carried" -> 1.0), covers = Some(head))
-        imageSlicedActive = true; imageBlooms = None
-      } else imageBlooms = Some(merged)
+        // flip to the sliced image regime, CARRYING the blocks (the URL
+        // flip's twin — one O(blocks) write, never an O(ids) rebuild)
+        flipImageToSliced(merged)
+      else imageBlooms = Some(merged)
     }
     imageRowsEst += nNewImages
     imageRowsB.unpersist()
@@ -702,23 +876,33 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     // every `bloomCommitEvery` runs — a crash between checkpoints costs
     // the (tested) rebuild, never correctness
     if (cfg.useBloom && slicedActive) {
-      // sliced regime: append this run's blocks as index rows (distributed
-      // build, merged per bucket at read time); compact every K runs
-      val runIdx = BloomDedup.buildIndex(results.select("url_hash"), cfg.bloomBuckets)
-        .withColumn("fetchlog_snapshot", lit(runId))
-      bloomidx.commitCovering(runIdx, Map("run" -> runId.toDouble),
-        covers = runId, coalesceTo = 1)
-      if (runId % cfg.bloomCommitEvery == 0) {
-        val merged = BloomDedup.mergeIndex(bloomidx.read().get.select("bucket", "bloom"))
-        bloomidx.commitBase(sliceClustered(merged.withColumn("fetchlog_snapshot", lit(runId)),
-          sliceCount),
-          Map("compaction" -> 1.0, "run" -> runId.toDouble),
-          covers = Some(runId))
+      // sliced regime: NO per-run index append — this run's hashes ride
+      // the recent-delta anti-join off the fetchlog itself (crash-safe by
+      // construction). Every bloomCommitEvery runs the accumulated delta
+      // FOLDS into the base distributively (raw hashes, never a driver
+      // transit; geometry-sized per-run delta blocks would each be
+      // full-index-sized and refuse mergeInPlace across geometries);
+      // skipped when the geometry is due to grow — the next dedup's
+      // rebuild subsumes it.
+      if (runId % cfg.bloomCommitEvery == 0 && bloomidx.read().nonEmpty &&
+          storedGeom(bloomidx).exists(_.totalCapacity >= seenRowsEst)) {
+        val c0 = bloomidx.latestCovers.getOrElse(0L)
+        val head = fetchlog.latestDataSnapshot.getOrElse(runId)
+        fetchlog.readBetween(c0, head).foreach { recent =>
+          val folded = BloomDedup.foldHashes(
+            BloomDedup.mergeIndex(bloomidx.read().get.select("bucket", "bloom")),
+            recent.select("url_hash"), urlGeom.indexBuckets, urlGeom.capacityPerBucket)
+          bloomidx.commitBase(
+            sliceClustered(folded.withColumn("fetchlog_snapshot", lit(head)), sliceCount),
+            Map("compaction" -> 1.0, "run" -> runId.toDouble) ++ geomMetrics(urlGeom),
+            covers = Some(head))
+        }
       }
     } else if (cfg.useBloom) {
       val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
       val merged = BloomDedup.addHashes(
-        bloomBlocks.getOrElse(Map.empty), runHashes, cfg.bloomBuckets)
+        bloomBlocks.getOrElse(Map.empty), runHashes, urlGeom.indexBuckets,
+        urlGeom.capacityPerBucket)
       if (merged.valuesIterator.map(_.length.toLong).sum > cfg.maxBroadcastBytes) {
         // the standing map just outgrew the broadcast budget: flip to the
         // sliced regime from the next run on, carrying the map (which now
@@ -775,7 +959,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     bloomidx.commit(
       blocks.toSeq.map { case (b, bytes) => (b, bytes, runId) }
         .toDF("bucket", "bloom", "fetchlog_snapshot"),
-      Map("covers_fetchlog_snapshot" -> runId.toDouble), None, coalesceTo = 1)
+      Map("covers_fetchlog_snapshot" -> runId.toDouble) ++ geomMetrics(urlGeom),
+      None, coalesceTo = 1)
     lastBloomCommitRun = runId
   }
 
@@ -798,6 +983,12 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       bloomBlocks.foreach(commitBloom(_, logHead))
     out.toSeq
   }
+
+  /** Public dedup entry for benches/tools: anti-join candidates against
+    * THIS engine's URL-seen state through the engine's own adaptive plan
+    * and self-sized index (never an externally-sized one). Returns the
+    * result plus the cleanup thunk to run after consuming it. */
+  def dedupFrontier(df: DataFrame): (DataFrame, () => Unit) = dedupVsSeen(df)
 
   /** The URL-seen set (distinct attempted urls), for oracle comparison. */
   def seenSet(): Set[String] =

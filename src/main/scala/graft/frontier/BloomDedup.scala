@@ -116,6 +116,42 @@ object BloomDedup {
     idxRows.groupBy("bucket").agg(agg(col("bloom")).as("bloom"))
   }
 
+  /** Distributively fold raw key hashes into an existing block table —
+    * the sliced regime's compaction primitive (VERDICT r03 #1): per-run
+    * delta blocks built at the standing index's geometry would each be
+    * full-index-sized (bit arrays are capacity-sized, not key-sized), and
+    * blocks of DIFFERENT geometry refuse mergeInPlace — so recent keys
+    * are folded in as raw hashes instead. The index bytes never transit
+    * the driver; each bucket's (block, new-hashes) pair folds in ONE task
+    * (the sanctioned bloom-block-merge mapPartitions — north star). A
+    * bucket with hashes but no standing block (possible when the base
+    * was built before any key hashed there) gets a fresh filter at the
+    * same geometry, keeping the output self-consistent. */
+  def foldHashes(baseBlocks: DataFrame, hashes: DataFrame, indexBuckets: Int,
+                 expectedPerBucket: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = baseBlocks.sparkSession
+    import spark.implicits._
+    val grouped = hashes
+      .select(pmod(col("url_hash"), lit(indexBuckets)).cast("int").as("bucket"),
+        col("url_hash"))
+      .groupBy("bucket").agg(collect_list("url_hash").as("hs"))
+    baseBlocks.select(col("bucket"), col("bloom"))
+      .join(grouped, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("bloom"),
+        coalesce(col("hs"), array().cast("array<bigint>")).as("hs"))
+      .as[(Int, Array[Byte], Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (b, bytes, hs) =>
+          val bf =
+            if (bytes == null) BloomFilter.create(expectedPerBucket, fpp)
+            else BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+          hs.foreach(bf.putLong)
+          val o = new ByteArrayOutputStream(); bf.writeTo(o)
+          (b, o.toByteArray)
+        }
+      }.toDF("bucket", "bloom")
+  }
+
   /** Dedup beyond the driver-broadcast regime (NOTES.md r01 #1): process
     * candidates in `numSlices` hash-range slices. Slice `s` covers buckets
     * `{b : b % numSlices == s}`; only that slice's blocks are collected and
@@ -148,16 +184,29 @@ object BloomDedup {
     * `joinKey` (scan-probe mode only) generalizes the exact identity as
     * in [[dedupScan]]; a bucket-less seen side is then sliced by
     * `pmod(xxhash64(joinKey))` — the same key the candidates' `url_hash`
-    * must carry. */
+    * must carry.
+    *
+    * `storageBuckets` (default: `numBuckets`) is the granularity of the
+    * seen table's MATERIALIZED `bucket` column when it differs from the
+    * index bucket count — the geometry schedule grows index buckets past
+    * the fixed storage layout (BloomGeometry). Slice membership is
+    * `hash ≡ s (mod numSlices)` either way; the seen-side restriction
+    * maps it onto pushable storage-bucket IN filters when one count
+    * divides the other (always true for the engine's power-of-two
+    * multiples; when numSlices > storageBuckets the IN is a superset —
+    * over-inclusion on the probe side is harmless), falling back to an
+    * exact non-pushed pmod filter otherwise. */
   def dedupSliced(candidates: DataFrame, seen: DataFrame, idxRows: DataFrame,
                   numBuckets: Int, numSlices: Int, scanProbe: Boolean = false,
                   maxProbeBroadcastRows: Long = 4L << 20,
-                  joinKey: String = "url_hash")
+                  joinKey: String = "url_hash",
+                  storageBuckets: Int = -1)
                  (each: (Int, DataFrame) => Unit): () => Unit = {
     require(numSlices >= 1 && numBuckets % numSlices == 0,
       s"numSlices $numSlices must divide numBuckets $numBuckets")
     require(joinKey == "url_hash" || scanProbe,
       "a non-hash joinKey needs scanProbe mode")
+    val storageB = if (storageBuckets > 0) storageBuckets else numBuckets
     val bucketOf = (df: DataFrame) => pmod(col("url_hash"), lit(numBuckets)).cast("int")
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // on a mid-loop failure, release the checkpoints already accrued for
@@ -185,18 +234,35 @@ object BloomDedup {
       // anti-join probe side is harmless, and excluding them would let
       // their already-seen URLs re-enter as new
       val seenS =
-        if (seen.columns.contains("bucket"))
-          seen.filter(col("bucket").isNull || col("bucket")
-            .isin((s until numBuckets by numSlices).map(Integer.valueOf): _*))
-        else if (seen.columns.contains("url_hash"))
-          seen.filter(pmod(bucketOf(seen), lit(numSlices)) === s)
+        if (seen.columns.contains("bucket")) {
+          // slice membership is hash ≡ s (mod numSlices); when slices
+          // divide the storage-bucket count the matching storage buckets
+          // are exactly {r : r ≡ s (mod slices)}, and when the storage
+          // count divides the slice count the single bucket s % storageB
+          // is a SUPERSET of the slice (over-inclusion is fine on the
+          // probe side) — both stay pushable INs over concrete values
+          val storageSlice: Option[Seq[Integer]] =
+            if (storageB % numSlices == 0)
+              Some((s until storageB by numSlices).map(Integer.valueOf))
+            else if (numSlices % storageB == 0)
+              Some(Seq(Integer.valueOf(s % storageB)))
+            else None
+          storageSlice match {
+            case Some(bs) =>
+              seen.filter(col("bucket").isNull || col("bucket").isin(bs: _*))
+            case None =>
+              val h = if (seen.columns.contains("url_hash")) col("url_hash")
+                      else xxhash64(col(joinKey))
+              seen.filter(pmod(h, lit(numSlices)) === s)
+          }
+        } else if (seen.columns.contains("url_hash"))
+          seen.filter(pmod(col("url_hash"), lit(numSlices)) === s)
         else // hash-less seen side (e.g. an image_id payload table)
-          seen.filter(pmod(
-            pmod(xxhash64(col(joinKey)), lit(numBuckets)), lit(numSlices)) === s)
+          seen.filter(pmod(xxhash64(col(joinKey)), lit(numSlices)) === s)
       if (scanProbe) {
         val blocks = collectBlocks(sliceIdx)
         val (out, cleanup) = dedupScan(candS, seenS, blocks, numBuckets,
-          maxProbeBroadcastRows, joinKey)
+          maxProbeBroadcastRows, joinKey, storageB)
         cleanups += cleanup
         each(s, out)
       } else {
@@ -240,23 +306,52 @@ object BloomDedup {
     * `url_hash = xxhash64(image_id)` as its prefilter key, so a hash
     * collision can never drop a genuinely-new row.
     *
+    * `storageBuckets` (default `numBuckets`): granularity of the seen
+    * table's materialized `bucket` column when the index geometry has
+    * outgrown the storage layout (see [[BloomGeometry]]).
+    *
+    * The survivor count rides a [[org.apache.spark.util.LongAccumulator]]
+    * on the checkpoint's own job — no separate count action (its value is
+    * only a PLAN ROUTER: a retry-inflated count at worst picks a more
+    * conservative probe; a nonzero count with zero true survivors probes
+    * an empty key set — both exact).
+    *
+    * Probe plans by survivor count, smallest first:
+    *  1. zero → the seen set is not touched at all;
+    *  2. ≤ `pointLookupMaxRows` → the survivor KEYS are collected and
+    *     pushed INTO the seen scan as a literal IN — with the engine's
+    *     hash-sorted file layout (bucketSalted sorts within partitions)
+    *     parquet's row-group stats + column-index page pruning turn the
+    *     probe into page-level point lookups instead of a full column
+    *     scan of the touched buckets (VERDICT r03 #3: the last residual
+    *     term that grew with history). Needs
+    *     `spark.sql.parquet.pushdown.inFilterThreshold` ≥ the cap, or the
+    *     IN degrades to a (useless, still correct) min/max range;
+    *  3. ≤ `maxProbeBroadcastRows` → survivors broadcast into a semi-join
+    *     against the bucket-pruned seen scan;
+    *  4. beyond → conditional shuffle anti-join fallback (correct at any
+    *     size, just costlier).
+    *
     * Returns the result plus a cleanup thunk (releases the internal
     * checkpoint) to run once every consumer is done. */
   def dedupScan(candidates: DataFrame, seen: DataFrame, blocks: Map[Int, Array[Byte]],
                 numBuckets: Int, maxProbeBroadcastRows: Long = 4L << 20,
-                joinKey: String = "url_hash")
+                joinKey: String = "url_hash", storageBuckets: Int = -1,
+                pointLookupMaxRows: Long = 1024L)
       : (DataFrame, () => Unit) = {
     val spark = candidates.sparkSession
     val sc = spark.sparkContext
+    val storageB = if (storageBuckets > 0) storageBuckets else numBuckets
     val outCols = candidates.columns.map(col)
     val epoch = new java.security.SecureRandom().nextLong()
     val bc = sc.broadcast(blocks)
+    val acc = sc.longAccumulator("bloom-survivors")
     val before = sc.getPersistentRDDs.keySet
     // destroy in finally: a task failure inside the eager checkpoint must
     // not pin a flip-point-sized (≤ maxBroadcastBytes) block broadcast
     val flagged =
       try candidates.withColumn("__maybe",
-          graft.functions.BloomMightContain(epoch, bc,
+          graft.functions.BloomMightContain.counting(epoch, bc, acc,
             pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
         .localCheckpoint()
       finally bc.destroy()
@@ -266,11 +361,27 @@ object BloomDedup {
     }
     val keyCols = (Seq(joinKey, "url_hash").distinct).map(col)
     val maybeKeys = flagged.filter(col("__maybe")).select(keyCols: _*)
-    val nMaybe = maybeKeys.count() // cheap: counts the checkpointed frame
+    val nMaybe = acc.value.longValue() // counted inside the checkpoint job
     val out =
       if (nMaybe == 0) flagged.select(outCols: _*)
-      else if (nMaybe <= maxProbeBroadcastRows) {
-        val dups = prunedSeenKeys(seen, maybeKeys, numBuckets, joinKey)
+      else if (nMaybe <= math.min(pointLookupMaxRows, maxProbeBroadcastRows)) {
+        // point-lookup probe: survivor keys (bounded, already materialized
+        // in the checkpoint) collect to the driver; the seen scan gets the
+        // pushable IN(bucket,…) ∧ IN(key,…) pair and no join at all
+        val rows = maybeKeys.collect()
+        val hashIdx = rows.headOption.map(_.fieldIndex("url_hash")).getOrElse(0)
+        val touched = rows.map(r => java.lang.Math.floorMod(r.getLong(hashIdx),
+          storageB.toLong).toInt).distinct.sorted
+        val keys = rows.map(_.get(0)).distinct
+        val seenPruned =
+          if (seen.columns.contains("bucket") && touched.length < storageB)
+            seen.filter(col("bucket").isNull ||
+              col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+          else seen
+        val dups = seenPruned.filter(col(joinKey).isin(keys.toSeq: _*)).select(joinKey)
+        flagged.join(broadcast(dups), Seq(joinKey), "left_anti").select(outCols: _*)
+      } else if (nMaybe <= maxProbeBroadcastRows) {
+        val dups = prunedSeenKeys(seen, maybeKeys, storageB, joinKey)
           .join(broadcast(maybeKeys.select(joinKey)), Seq(joinKey), "left_semi")
         flagged.join(broadcast(dups), Seq(joinKey), "left_anti").select(outCols: _*)
       } else {
@@ -289,13 +400,13 @@ object BloomDedup {
     * (pre-upgrade commits) are always included — dropping them would let
     * their already-seen URLs re-enter as new. */
   private def prunedSeenKeys(seen: DataFrame, maybeKeys: DataFrame,
-                             numBuckets: Int, joinKey: String = "url_hash"): DataFrame =
+                             storageBuckets: Int, joinKey: String = "url_hash"): DataFrame =
     if (!seen.columns.contains("bucket")) seen.select(joinKey)
     else {
       val touched = maybeKeys
-        .select(pmod(col("url_hash"), lit(numBuckets)).cast("int").as("b"))
+        .select(pmod(col("url_hash"), lit(storageBuckets)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).sorted
-      if (touched.length >= numBuckets) seen.select(joinKey)
+      if (touched.length >= storageBuckets) seen.select(joinKey)
       else seen.filter(col("bucket").isNull ||
           col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
         .select(joinKey)

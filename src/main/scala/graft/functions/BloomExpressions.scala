@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.LongAccumulator
 import org.apache.spark.util.sketch.BloomFilter
 
 import java.io.ByteArrayInputStream
+import java.lang.ref.SoftReference
 
 /** Executor-side runtime for [[BloomMightContain]]: an EXECUTOR-GLOBAL
   * cache of deserialized Bloom blocks, fed from a broadcast of the
@@ -27,31 +29,53 @@ import java.io.ByteArrayInputStream
   * shared map caps memory at ONE working set total instead of one per
   * thread, and the working set always fits the budget by construction:
   * the engine sizes broadcast maps and slices against
-  * `maxBroadcastBytes` (512 MB default) < this budget. */
+  * `maxBroadcastBytes` (512 MB default) < this budget.
+  *
+  * Entries are held through [[SoftReference]]s: blocks from DEAD epochs
+  * (destroyed broadcasts, finished slices) stay reusable while the heap
+  * is comfortable but are reclaimable under pressure instead of pinning
+  * up to a full budget of stale filters (ADVICE r03). The byte budget is
+  * the hard backstop for the live working set; it defaults to a quarter
+  * of the JVM's max heap (this object lives in the EXECUTOR JVM — on a
+  * real cluster set `-Dgraft.bloom.cacheBytes` via
+  * `spark.executor.extraJavaOptions`, not on the driver). */
 object BloomRuntime {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, SoftReference[BloomFilter]]()
+  private val sizes = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
   private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-  // executor-wide budget in BYTES (overridable for small-heap deploys);
-  // overflow means the active epoch ROTATED (new index build / next
-  // slice) and the cached entries are stale — wipe-and-reload happens
-  // once per rotation, never per row
+  // executor-wide budget in BYTES: overflow means either the active epoch
+  // ROTATED (new index build / next slice — stale entries wiped once per
+  // rotation, never per row) or GC already cleared soft refs we still
+  // account for (reconciled below)
   val MaxCacheBytes: Long =
     sys.props.get("graft.bloom.cacheBytes").map(_.toLong)
-      .getOrElse(1024L * 1024 * 1024)
+      .getOrElse(math.max(64L * 1024 * 1024, Runtime.getRuntime.maxMemory / 4))
+
+  private def deref(key: Long): BloomFilter = {
+    val ref = cache.get(key)
+    if (ref == null) null
+    else {
+      val bf = ref.get()
+      if (bf == null) { // GC cleared it: drop the entry and its accounting
+        cache.remove(key)
+        val sz = sizes.remove(key)
+        if (sz != null) cachedBytes.addAndGet(-sz.longValue())
+      }
+      bf
+    }
+  }
 
   /** Membership test against a broadcast block map. A block is
     * deserialized once per (executor, epoch, bucket) — concurrent first
-    * touches may race to deserialize, `putIfAbsent` keeps exactly one
-    * (Bloom reads are side-effect-free, so losers cost wasted work, not
-    * correctness). The serialized bytes live once per executor in the
-    * broadcast — they never flow through a join (a joined binary column
-    * is re-copied out of its UnsafeRow for EVERY candidate row, which
-    * costs more than the exact anti-join Bloom is meant to save —
-    * measured, not theory). */
+    * touches queue behind one deserialization (miss path below). The serialized
+    * bytes live once per executor in the broadcast — they never flow
+    * through a join (a joined binary column is re-copied out of its
+    * UnsafeRow for EVERY candidate row, which costs more than the exact
+    * anti-join Bloom is meant to save — measured, not theory). */
   def test(epoch: Long, bucket: Int, hash: Long,
            bc: Broadcast[Map[Int, Array[Byte]]]): Boolean = {
     val key = epoch + bucket
-    var bf = cache.get(key)
+    var bf = deref(key)
     if (bf == null) {
       bc.value.get(bucket) match {
         case None => return false // no block for this bucket → definitely unseen
@@ -65,20 +89,33 @@ object BloomRuntime {
           // lock-free; first-touch threads briefly queue behind one
           // deserialization instead of all paying their own.
           this.synchronized {
-            bf = cache.get(key)
+            bf = deref(key)
             if (bf == null) {
               if (cachedBytes.get() + bytes.length > MaxCacheBytes) {
                 // stale-epoch overflow: rare by construction (class doc)
-                cache.clear(); cachedBytes.set(0L)
+                cache.clear(); sizes.clear(); cachedBytes.set(0L)
               }
               bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-              cache.put(key, bf)
+              cache.put(key, new SoftReference(bf))
+              sizes.put(key, java.lang.Long.valueOf(bytes.length.toLong))
               cachedBytes.addAndGet(bytes.length.toLong)
             }
           }
       }
     }
     bf.mightContainLong(hash)
+  }
+
+  /** [[test]] that also counts positive verdicts into `acc` — lets the
+    * scan-probe plan read its survivor count off the eager checkpoint's
+    * own job instead of paying a separate count action. Advisory only:
+    * accumulator semantics under task retries may overcount, which at
+    * worst routes the probe to a more conservative plan. */
+  def testCounting(epoch: Long, bucket: Int, hash: Long,
+                   bc: Broadcast[Map[Int, Array[Byte]]], acc: LongAccumulator): Boolean = {
+    val r = test(epoch, bucket, hash, bc)
+    if (r) acc.add(1L)
+    r
   }
 }
 
@@ -96,6 +133,7 @@ object BloomRuntime {
 case class BloomMightContain(
     epoch: Long,
     blocks: Broadcast[Map[Int, Array[Byte]]],
+    survivorAcc: Option[LongAccumulator],
     left: Expression,
     right: Expression) extends BinaryExpression {
 
@@ -110,7 +148,12 @@ case class BloomMightContain(
     val b = left.eval(input)
     val h = right.eval(input)
     if (b == null || h == null) false
-    else BloomRuntime.test(epoch, b.asInstanceOf[Int], h.asInstanceOf[Long], blocks)
+    else survivorAcc match {
+      case Some(acc) =>
+        BloomRuntime.testCounting(epoch, b.asInstanceOf[Int], h.asInstanceOf[Long], blocks, acc)
+      case None =>
+        BloomRuntime.test(epoch, b.asInstanceOf[Int], h.asInstanceOf[Long], blocks)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -120,13 +163,22 @@ case class BloomMightContain(
       "java.lang.Long")
     val bcRef = ctx.addReferenceObj("bloomBlocks", blocks,
       "org.apache.spark.broadcast.Broadcast")
+    val call = survivorAcc match {
+      case Some(acc) =>
+        val accRef = ctx.addReferenceObj("bloomAcc", acc,
+          "org.apache.spark.util.LongAccumulator")
+        s"graft.functions.BloomRuntime.testCounting(" +
+          s"$epochRef.longValue(), ${bucketGen.value}, ${hashGen.value}, $bcRef, $accRef)"
+      case None =>
+        s"graft.functions.BloomRuntime.test(" +
+          s"$epochRef.longValue(), ${bucketGen.value}, ${hashGen.value}, $bcRef)"
+    }
     ev.copy(
       code = code"""
         ${bucketGen.code}
         ${hashGen.code}
         final boolean ${ev.value} = !(${bucketGen.isNull} || ${hashGen.isNull}) &&
-          graft.functions.BloomRuntime.test(
-            $epochRef.longValue(), ${bucketGen.value}, ${hashGen.value}, $bcRef);
+          $call;
       """,
       isNull = FalseLiteral)
   }
@@ -138,6 +190,11 @@ case class BloomMightContain(
 object BloomMightContain {
   def apply(epoch: Long, blocks: Broadcast[Map[Int, Array[Byte]]],
             bucket: Column, hash: Column): Column =
-    Bridge.column(BloomMightContain(epoch, blocks,
+    Bridge.column(BloomMightContain(epoch, blocks, None,
+      Bridge.expression(bucket), Bridge.expression(hash)))
+
+  def counting(epoch: Long, blocks: Broadcast[Map[Int, Array[Byte]]],
+               acc: LongAccumulator, bucket: Column, hash: Column): Column =
+    Bridge.column(BloomMightContain(epoch, blocks, Some(acc),
       Bridge.expression(bucket), Bridge.expression(hash)))
 }

@@ -44,7 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    anchor at the latest base ≤ the requested snapshot and apply only
   *    later deltas. Bounds merge-on-read cost to O(base + deltas-since).
   */
-class SnapshotTable(spark: SparkSession, root: String) {
+class SnapshotTable(spark: => SparkSession, root: String) {
+  // `spark` is BY-NAME: the manifest-metadata methods (snapshots, kindOf,
+  // coversOf, metricOf, totalRows, …) are pure file reads, so metadata
+  // tooling (graft.CrawlManager) can construct a table without a session
 
   final case class CommitResult(id: Long, rows: Long)
 
@@ -104,6 +107,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** `covers` of the latest snapshot (None when the table is empty or the
     * latest commit carries no marker). */
   def latestCovers: Option[Long] = latestSnapshot.flatMap(coversOf)
+
+  /** A metric recorded in snapshot `n`'s manifest (None when absent).
+    * Metric names must not collide with top-level manifest fields —
+    * callers use distinctive keys (e.g. "expected_per_bucket"). */
+  def metricOf(n: Long, key: String): Option[Double] =
+    s""""$key":(-?[0-9.eE+]+)""".r.findFirstMatchIn(manifestText(n))
+      .map(_.group(1).toDouble)
 
   /** Hive-style partition columns of snapshot `n`'s data layout (empty =
     * flat). */

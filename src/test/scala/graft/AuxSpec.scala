@@ -75,6 +75,39 @@ class AuxSpec extends AnyFunSuite {
     assert(spark.read.json(jsonDir).count() == 2)
   }
 
+  test("CrawlManager status/metrics/logs over a crawled root (manager CLI analogue)") {
+    import graft.crawl.{CrawlConfig, CrawlEngine}
+    import graft.fetch.SyntheticFetcher
+    import graft.frontier.Politeness
+    import graft.web.{SyntheticWeb, WebConfig}
+    val webCfg = WebConfig(nHosts = 3, pagesPerHost = 8, hotFactor = 1,
+      failPct = 0, imagesPerPage = 1, linksPerPage = 3)
+    val web = new SyntheticWeb(webCfg)
+    val root = java.nio.file.Files.createTempDirectory("mgr").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = 6), useBloom = true, bloomBuckets = 4),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    val stats = e.crawlAll()
+    assert(stats.nonEmpty)
+    val totalScheduled = stats.map(_.scheduled).sum
+    // everything below is metadata-only: no SparkSession touch
+    val status = graft.tools.CrawlManager.status(root)
+    assert(status.contains(s"Completed runs: ${stats.size}"))
+    assert(status.contains("Dedup regime: broadcast"))
+    assert(status.contains("URL index geometry"))
+    assert(status.contains("fetchlog"))
+    val metrics = graft.tools.CrawlManager.metrics(root)
+    assert(metrics.contains(f"Fetches: ${totalScheduled}%,d"), metrics)
+    assert(metrics.contains("New images"))
+    assert(metrics.contains("Storage:"))
+    val logs = graft.tools.CrawlManager.logs(root, 2)
+    assert(logs.linesIterator.size == 2)
+    assert(logs.contains("scheduled="))
+    // empty/missing roots degrade, never throw
+    assert(graft.tools.CrawlManager.status("/no/such/root").contains("no such root"))
+  }
+
   test("meta tags and headings extraction (F8)") {
     val html =
       """<meta name="Description" content="fpds search results">

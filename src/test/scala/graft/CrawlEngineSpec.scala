@@ -371,6 +371,117 @@ class CrawlEngineSpec extends AnyFunSuite {
     engineRuns.zip(o.runOrders).foreach { case (got, exp) => assert(got == exp) }
   }
 
+  test("geometry resize: crawling past the index capacity rebuilds bigger blocks, fpp stays at target, state exact (VERDICT r03 #1)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a low capacity floor scales the resize schedule down to spec size:
+    // 4 buckets × 64 keys = 256-key initial capacity, crossed within the
+    // first runs of a ~1400-attempt crawl → several doubling rebuilds
+    val floor = 64L
+    val buckets = 4
+    val wideCfg = WebConfig(nHosts = 2, pagesPerHost = 700, hotFactor = 1,
+      failPct = 0, imagesPerPage = 1, linksPerPage = 6)
+    val wideWeb = new SyntheticWeb(wideCfg)
+    val wideBudget = 400
+    val o = new OracleCrawler(wideWeb, wideBudget, maxRetries)
+    o.seed(wideWeb.seeds)
+    o.crawlAll()
+    val root = Files.createTempDirectory("crawl-resize").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = wideBudget), maxRetries,
+        useBloom = true, bloomBuckets = buckets, scanProbeMinSeen = 0L,
+        bloomCapacityFloor = floor),
+      new SyntheticFetcher(wideCfg), wideWeb.robots)
+    e.seed(wideWeb.seeds)
+    e.crawlAll()
+
+    assert(e.seenSet() == o.seenSet, "resize diverged the seen set")
+    val attempts = e.fetchlog.read().get.count()
+    assert(attempts > buckets * floor * 2,
+      s"crawl too small ($attempts attempts) to cross the resize point — widen the web")
+    // the standing geometry grew past the floor and covers the history
+    assert(e.urlIndexGeometry.totalCapacity >= attempts,
+      s"geometry ${e.urlIndexGeometry} never resized past $attempts attempts")
+    val lastIdx = e.bloomidx.latestSnapshot.get
+    val storedCap = e.bloomidx.metricOf(lastIdx, "expected_per_bucket").get.toLong
+    assert(storedCap > floor, s"persisted capacity $storedCap never grew past the floor")
+
+    // fpp evidence (the saturation this fixes was fpp→1): fresh keys
+    // against the ENGINE-built, end-of-crawl-flushed blocks must read
+    // "maybe seen" at ~the 1% build target, not ≈ 100%
+    val idxBuckets = e.bloomidx.metricOf(lastIdx, "index_buckets").get.toInt
+    // broadcast-regime bloomidx accumulates one checkpoint per flush;
+    // only the LATEST (max fetchlog_snapshot) is the standing index
+    val idxAll = e.bloomidx.read().get
+    val lastSnap = idxAll.agg(org.apache.spark.sql.functions.max("fetchlog_snapshot"))
+      .as[Long].collect().head
+    val blocks = idxAll.filter(col("fetchlog_snapshot") === lastSnap)
+      .select("bucket", "bloom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val filters = blocks.map { case (b, bytes) =>
+      b -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    val rnd = new scala.util.Random(2024)
+    val fresh = Array.fill(20000)(rnd.nextLong())
+    val fp = fresh.count { h =>
+      filters.get(java.lang.Math.floorMod(h, idxBuckets.toLong).toInt)
+        .exists(_.mightContainLong(h))
+    }
+    val fppObserved = fp.toDouble / fresh.length
+    assert(fppObserved < 0.05,
+      f"observed fpp $fppObserved%.3f — blocks saturated despite $attempts attempts " +
+        f"(capacity $storedCap×$idxBuckets)")
+
+    // a fresh engine resumes with the persisted geometry and drains clean
+    val e2 = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = wideBudget), maxRetries,
+        useBloom = true, bloomBuckets = buckets, scanProbeMinSeen = 0L,
+        bloomCapacityFloor = floor),
+      new SyntheticFetcher(wideCfg), wideWeb.robots)
+    assert(e2.urlIndexGeometry.capacityPerBucket == storedCap,
+      "resume did not read the persisted geometry back")
+    e2.crawlAll()
+    assert(e2.seenSet() == o.seenSet, "post-resize resume diverged")
+  }
+
+  test("geometry resize in the SLICED regime: distributed rebuild + delta-fold compaction, state exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wideCfg = WebConfig(nHosts = 2, pagesPerHost = 700, hotFactor = 1,
+      failPct = 0, imagesPerPage = 1, linksPerPage = 6)
+    val wideWeb = new SyntheticWeb(wideCfg)
+    val wideBudget = 400
+    val o = new OracleCrawler(wideWeb, wideBudget, maxRetries)
+    o.seed(wideWeb.seeds)
+    o.crawlAll()
+    val root = Files.createTempDirectory("crawl-resize-sliced").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = wideBudget), maxRetries,
+        useBloom = true, bloomBuckets = 4, bloomSlices = 2, bloomCommitEvery = 2,
+        scanProbeMinSeen = 0L, bloomCapacityFloor = 64L),
+      new SyntheticFetcher(wideCfg), wideWeb.robots)
+    e.seed(wideWeb.seeds)
+    e.crawlAll()
+    assert(e.seenSet() == o.seenSet, "sliced resize diverged the seen set")
+    val manifests = e.bloomidx.snapshots.map(n =>
+      (e.bloomidx.metricOf(n, "expected_per_bucket").map(_.toLong),
+        e.bloomidx.kindOf(n)))
+    // growth visible in the persisted geometry trail…
+    assert(manifests.flatMap(_._1).distinct.size >= 2,
+      s"no geometry growth across bloomidx commits: $manifests")
+    // …and the recent-delta fold compaction ran (per-run appends are gone)
+    assert(e.bloomidx.snapshots.exists(n =>
+        e.bloomidx.metricOf(n, "compaction").contains(1.0)),
+      "no fold compaction commit — bloomCommitEvery cadence broken")
+    assert(!e.bloomidx.snapshots.exists(n => e.bloomidx.kindOf(n) == "append"),
+      "sliced regime still appends per-run index deltas")
+    // image payload table exact under the sliced image index too
+    val ids = e.imageTable().get.select("image_id").as[String].collect()
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == o.imagesCaptions.keySet.toSet)
+  }
+
   test("resume from last committed snapshot equals uninterrupted run") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -199,6 +199,83 @@ class FilterSpec extends AnyFunSuite {
     assert(run(seenB, 4L << 20) == exact, "bucket-pruned probe")
   }
 
+  test("point-lookup probe == exact; survivor IN pushes to the sorted parquet scan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // the probe's IN(url_hash,…) must reach parquet as a real In filter,
+    // not a min/max range — the engine sets the same threshold
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
+    val rnd = new scala.util.Random(99)
+    val seenHashes = (1 to 50000).map(_ => rnd.nextLong()).distinct
+    // small-survivor batch: ~60 true dups + fpp — well inside the 1024
+    // point-lookup cap, so plan 2 (collected keys pushed into the scan)
+    // is the one being exercised
+    val candHashes = (seenHashes.take(60) ++ (1 to 4000).map(_ => rnd.nextLong())).distinct
+    // the seen side lives ON DISK in the engine's layout: bucket-range
+    // clustered AND hash-sorted within files (bucketSalted), which is
+    // what makes page-level column indexes tight on url_hash
+    val dir = java.nio.file.Files.createTempDirectory("pointlookup").toString
+    seenHashes.toDF("url_hash")
+      .withColumn("bucket", pmod(col("url_hash"), lit(16)).cast("int"))
+      .repartitionByRange(16, col("bucket"), col("url_hash"))
+      .sortWithinPartitions(col("bucket"), col("url_hash"))
+      .write.mode("overwrite").parquet(dir)
+    val seenDisk = spark.read.parquet(dir)
+    val cand = candHashes.map(h => (h, s"u$h")).toDF("url_hash", "url")
+    val exact = cand.join(seenDisk.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    val blocks = BloomDedup.collectBlocks(
+      BloomDedup.buildIndex(seenDisk.select("url_hash"), 16, expectedPerBucket = 65536))
+    val (out, cleanup) = BloomDedup.dedupScan(cand, seenDisk, blocks, 16)
+    try assert(out.select("url_hash").as[Long].collect().sorted.toSeq == exact)
+    finally cleanup()
+    // plan evidence: a literal IN over survivors pushes to the scan
+    val probePlan = seenDisk
+      .filter(col("url_hash").isin(seenHashes.take(60).map(java.lang.Long.valueOf): _*))
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(url_hash".r.findFirstIn(probePlan).isDefined,
+      s"survivor IN not pushed to the parquet scan:\n$probePlan")
+  }
+
+  test("index buckets decoupled from storage buckets: scan-probe and sliced dedup == exact") {
+    // the geometry schedule grows INDEX buckets past the fixed storage
+    // layout (BloomGeometry): blocks keyed at 64 buckets, the seen
+    // table's materialized bucket column at 16 — every probe plan must
+    // still equal the exact anti-join
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val rnd = new scala.util.Random(55)
+    val seenHashes = (1 to 20000).map(_ => rnd.nextLong()).distinct
+    val candHashes = (seenHashes.take(5000) ++ (1 to 9000).map(_ => rnd.nextLong())).distinct
+    val seenB = seenHashes.toDF("url_hash")
+      .withColumn("bucket", pmod(col("url_hash"), lit(16)).cast("int"))
+    val cand = candHashes.map(h => (h, s"u$h")).toDF("url_hash", "url")
+    val exact = cand.join(seenB.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+
+    val idxRows = BloomDedup.buildIndex(seenB.select("url_hash"), 64,
+      expectedPerBucket = 2048)
+    val blocks = BloomDedup.collectBlocks(idxRows)
+    val (out, cleanup) = BloomDedup.dedupScan(cand, seenB, blocks, 64,
+      storageBuckets = 16)
+    try assert(out.select("url_hash").as[Long].collect().sorted.toSeq == exact,
+      "scan-probe with 64 index / 16 storage buckets diverged")
+    finally cleanup()
+
+    // numSlices divides storage buckets (8 | 16): pushable IN per slice
+    for (slices <- Seq(8, 32)) { // 32 > 16 exercises the superset branch
+      val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val cl = BloomDedup.dedupSliced(cand, seenB, idxRows, 64, slices,
+        scanProbe = true, storageBuckets = 16) { (_, df) => parts += df }
+      val got =
+        try parts.reduce(_.unionByName(_)).select("url_hash").as[Long].collect().sorted.toSeq
+        finally cl()
+      assert(got == exact, s"sliced dedup at $slices slices / 16 storage buckets diverged")
+    }
+  }
+
   test("bloom dedup equals exact anti-join") {
     val spark = TestSpark.spark
     import spark.implicits._
