@@ -22,6 +22,7 @@ object CrawlDemo {
       .master(s"local[$cores]")
       .appName("graft-crawl-demo")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,14 +40,27 @@ object CrawlDemo {
     // (mostly job count × scheduling floor) IS the e2e throughput
     val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobSites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val jobMillis = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val inJobMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, (String, java.lang.Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
         val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim).getOrElse("?")
         jobSites.merge(site, 1L, (a, b) => a + b)
+        jobStartMs.put(j.jobId, (site, java.lang.Long.valueOf(j.time)))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobStartMs.remove(j.jobId)
+        if (st != null) {
+          val d = j.time - st._2.longValue()
+          jobMillis.merge(st._1, d, (a, b) => a + b)
+          inJobMillis.addAndGet(d) // jobs are serial in this driver loop
+        }
       }
     })
     val t0 = System.nanoTime()
+    def secsSoFar(t: Long): Double = (System.nanoTime() - t) / 1e9
     // per-run wall + job counts via crawlAll's instrumentation hook (the
     // engine keeps the one crawl loop: maxRuns cap + end-of-crawl Bloom
     // checkpoint flush, so resuming the printed root skips the rebuild)
@@ -66,8 +80,11 @@ object CrawlDemo {
     }
     import scala.jdk.CollectionConverters._
     jobSites.asScala.toSeq.sortBy(-_._2).foreach { case (site, n) =>
-      println(f"JOBSITE $n%4d  $site")
+      val ms = Option(jobMillis.get(site)).map(_.longValue()).getOrElse(0L)
+      println(f"JOBSITE $n%4d  ${ms / 1000.0}%7.2fs  $site")
     }
+    println(f"DRIVER-GAP ${secsSoFar(t0) - inJobMillis.get() / 1000.0}%.2fs of " +
+      f"${secsSoFar(t0)}%.2fs total is outside Spark jobs (planning, manifests, footers)")
     val fetched = stats.map(_._1.scheduled).sum
     println(f"TOTAL: $fetched fetches, ${engine.seenSet().size} distinct URLs, " +
       f"${engine.imageTable().map(_.count()).getOrElse(0L)} images in $secs%.1fs " +

@@ -84,17 +84,19 @@ final case class RunStats(
   *     priority, depth, seq) — the canonical sequence code `seq` defines
   *     the reference-equivalent total crawl order (§3.1: page asc, row asc
   *     ⇒ here: lexicographic (parent, linkIdx) code, ascending);
-  *  - `pending`: the LIVE work set, maintained merge-on-read — each run
-  *     APPENDS this run's new candidates + retry rows; the DELETES are
-  *     derived, never written: every scheduled pending row becomes exactly
-  *     one fetchlog row under the same `(url_hash, attempt)` key, so the
-  *     read anti-joins the fetchlog slice since the last compaction
+  *  - `pending`: the LIVE work set, fully DERIVED — the table holds only
+  *     compacted BASES (every `compactEvery` runs); no run writes to it.
+  *     Additions are derived from the frontier deltas since the base's
+  *     recorded frontier watermark (+ retryables from failed attempts),
+  *     deletes from the fetchlog: every scheduled pending row becomes
+  *     exactly one fetchlog row under the same `(url_hash, attempt)` key,
+  *     so the read anti-joins the fetchlog slice since the base
   *     (pendingMaterialized). A run reads O(live + deltas-since), NOT the
-  *     full discovery/attempt history (VERDICT r01 #3). Compacted every
-  *     `compactEvery` runs. It is a derived accelerator: each commit
-  *     records the fetchlog snapshot it covers, and a mismatch (crash
-  *     window) rebuilds it from `frontier ∖ seen ∪ retryable` —
-  *     correctness never depends on it;
+  *     full discovery/attempt history (VERDICT r01 #3), and writes
+  *     nothing (VERDICT r03 #5). It is a derived accelerator: a root
+  *     without a usable base (fresh, or pre-upgrade per-run appends)
+  *     rebuilds it from `frontier ∖ seen ∪ retryable` — correctness
+  *     never depends on it;
   *  - `fetchlog`: one row per attempt; the URL-seen set is its distinct
   *     `url_hash` (successes ∪ tracked failures, fpds_high_performance
   *     .py:315-336). Its commit is the run's COMPLETION MARKER and
@@ -546,38 +548,84 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     (retryPart.map(newPart.unionByName(_)).getOrElse(newPart), cleanup)
   }
 
-  /** The maintained pending state as of fetchlog snapshot `logHead`:
-    * appended rows since the last compaction, minus the `(url_hash,
-    * attempt)` keys attempted since then. The fetchlog IS the delete
-    * source — every scheduled pending row becomes exactly one fetchlog row
-    * under the same key, so no separate delete commit is ever written. */
+  /** The live pending state as of fetchlog snapshot `logHead`, DERIVED
+    * from the other tables' deltas — the pending table holds ONLY
+    * compacted bases, and no run ever appends to it (VERDICT r03 #5: the
+    * per-run pending append was a whole write job whose rows were all
+    * derivable). A base records the fetchlog snapshot it covers
+    * (`covers` = c0) and the frontier snapshot it saw
+    * (`frontier_covers` = f0); the live set is then
+    *
+    *   base ∪ dedup(frontier deltas > f0, attempt 1)
+    *        ∪ retryables(fetchlog deltas > c0)
+    *   ∖ attempted (url_hash, attempt) keys in (c0, logHead]
+    *
+    * — every scheduled row becomes exactly one fetchlog row under the
+    * same key, so the fetchlog IS the delete source; failed attempts
+    * below maxRetries spawn their successor row, and an executed
+    * successor cancels via the same anti-join. Frontier deltas dedup by
+    * min-seq: a crash-replayed run may append the same discoveries
+    * twice, and both copies land in the delta window (the min-seq fold
+    * keeps one). All terms are O(live + deltas-since-compaction). */
   private def pendingMaterialized(logHead: Long): DataFrame = {
-    val raw = pending.read().get
-    val c0 = pending.latestBase.flatMap(pending.coversOf).getOrElse(0L)
-    fetchlog.readBetween(c0, logHead) match {
+    val base = pending.read().get
+    val b = pending.latestBase.get
+    val c0 = pending.coversOf(b).getOrElse(0L)
+    val f0 = pending.metricOf(b, "frontier_covers").map(_.toLong).getOrElse(0L)
+    val newDisc = frontier.readBetween(f0, frontier.latestDataSnapshot.getOrElse(0L))
+      .map { fd =>
+        fd.groupBy("url_hash")
+          .agg(min(struct(col("seq"), col("url"), col("host"), col("path"),
+            col("priority"), col("depth"))).as("m"))
+          .select(col("m.url").as("url"), col("url_hash"), col("m.host").as("host"),
+            col("m.path").as("path"), col("m.priority").as("priority"),
+            col("m.depth").as("depth"), col("m.seq").as("seq"), lit(1).as("attempt"))
+          .select(PendingCols.map(col): _*)
+      }
+    val attSince = fetchlog.readBetween(c0, logHead)
+    val retries = attSince.map { att =>
+      att.filter((col("status") === 500 || col("status") === 0) &&
+          col("attempt") < cfg.maxRetries)
+        .select(col("url"), col("url_hash"), col("host"),
+          url_path(col("url")).as("path"), lit(0.0).as("priority"),
+          col("depth"), col("seq"), (col("attempt") + 1).as("attempt"))
+        .select(PendingCols.map(col): _*)
+    }
+    val live = (Seq(base) ++ newDisc ++ retries).reduce(_.unionByName(_))
+    attSince match {
       case Some(att) =>
-        raw.join(att.select("url_hash", "attempt"), Seq("url_hash", "attempt"), "left_anti")
-      case None => raw
+        live.join(att.select("url_hash", "attempt"), Seq("url_hash", "attempt"), "left_anti")
+      case None => live
     }
   }
 
-  /** The live pending set: the maintained table when its covers marker is
-    * consistent with the fetchlog head (≤ head: empty appends are skipped;
-    * > head means a crash inside a run), else a rebuild committed as a new
-    * compacted base so the next run is fast again. */
+  /** The live pending set: derived from the latest base + deltas when a
+    * usable base exists (covers ≤ the fetchlog head, carries the frontier
+    * watermark, and no stray appends follow it — a pre-upgrade root's
+    * per-run appends force the one-time rebuild below), else a rebuild
+    * committed as a new compacted base so the next run is fast again.
+    * Crash windows need no special case anymore: a run that committed
+    * frontier rows but lost its fetchlog marker simply re-derives those
+    * rows as unattempted and replays them. */
   private def pendingLive(): Option[DataFrame] = {
     val logHead = fetchlog.latestDataSnapshot.getOrElse(0L)
-    val fresh = pending.latestSnapshot.nonEmpty &&
-      pending.snapshots.flatMap(pending.coversOf).lastOption.exists(_ <= logHead)
+    val fresh = pending.latestBase.exists { b =>
+      pending.coversOf(b).exists(_ <= logHead) &&
+        pending.metricOf(b, "frontier_covers").nonEmpty &&
+        !pending.snapshots.exists(id => id > b && pending.kindOf(id) != "merge")
+    }
     if (fresh) Some(pendingMaterialized(logHead))
-    else
+    else {
+      val fHead = frontier.latestDataSnapshot.getOrElse(0L)
       rebuildPending().map { case (df, cleanup) =>
         try {
           pending.commitBase(df.select(PendingCols.map(col): _*),
-            Map("rebuild" -> 1.0), Some("seq"), covers = Some(logHead))
+            Map("rebuild" -> 1.0, "frontier_covers" -> fHead.toDouble),
+            Some("seq"), covers = Some(logHead))
         } finally cleanup()
         pending.read().get
       }
+    }
   }
 
   /** One micro-run; None when the frontier is drained. */
@@ -827,22 +875,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       coalesceTo = (nOk * 8 / 100000 + 1).toInt,
       skipIfEmpty = true).rows
 
-    // pending append: new candidates + this run's retryables — O(batch).
-    // No delete commit: the scheduled (url_hash, attempt) keys land in the
-    // fetchlog below, which pendingMaterialized uses as the delete source.
-    val retryRows = results
-      .filter((col("status") === 500 || col("status") === 0) &&
-        col("attempt") < cfg.maxRetries)
-      .select(col("url"), col("url_hash"), col("host"),
-        url_path(col("url")).as("path"),
-        lit(0.0).as("priority"), col("depth"), col("seq"),
-        (col("attempt") + 1).as("attempt"))
-      .select(PendingCols.map(col): _*)
-    val pendingAppend = newCandidates.withColumn("attempt", lit(1))
-      .select(PendingCols.map(col): _*)
-      .unionByName(retryRows)
-    pending.commitCovering(pendingAppend, Map("run" -> runId.toDouble),
-      covers = runId, seqCol = Some("seq"), coalesceTo = 1, skipIfEmpty = true)
+    // NO pending append: the live work set is DERIVED (pendingMaterialized)
+    // from the frontier/fetchlog deltas this run commits anyway — new
+    // candidates enter through the frontier commit above, retryables and
+    // deletes through the fetchlog commit below (VERDICT r03 #5: one
+    // fewer write job + plan per micro-run).
 
     val baseMetrics = Map(
       "scheduled" -> nScheduled.toDouble, "fetched_ok" -> nOk.toDouble,
@@ -914,11 +951,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       }
     }
 
-    // pending compaction: fold appends-minus-attempts into a fresh base so
-    // later reads stay O(live + deltas-since), not O(append history)
+    // pending compaction: fold base + deltas into a fresh base so later
+    // derived reads stay O(live + deltas-since), not O(delta history)
     if (runId % cfg.compactEvery == 0) {
+      val fHead = frontier.latestDataSnapshot.getOrElse(0L)
       pending.commitBase(pendingMaterialized(runId).select(PendingCols.map(col): _*),
-        Map("compaction" -> 1.0, "run" -> runId.toDouble), Some("seq"),
+        Map("compaction" -> 1.0, "run" -> runId.toDouble,
+          "frontier_covers" -> fHead.toDouble), Some("seq"),
         covers = Some(runId))
       // bounded commit-dir growth (the Iceberg rewrite-data-files
       // analogue): bin-pack the oldest micro-run dirs into one merge

@@ -134,13 +134,32 @@ class SnapshotTable(spark: => SparkSession, root: String) {
   /** Read the table at the latest committed snapshot (None when empty). */
   def read(): Option[DataFrame] = readAt(latestSnapshot.getOrElse(-1L))
 
+  // known data schema (from the last write or first read): passing it to
+  // the reader skips parquet's footer-sampling SCHEMA-INFERENCE JOB — at
+  // micro-run cadence those were ~5 jobs per run, a measured slice of the
+  // fixed-cost floor. Columns added by later commits surface after the
+  // commit that writes them refreshes the cache (reads before that see
+  // the old shape — the engine treats a missing `bucket` column as
+  // bucket-less, which is correct, just unpruned). Flat layouts only.
+  private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+  // all-nullable: a commit's tight nullability must not reject older
+  // commits' null cells when the cached shape is applied to a union read
+  private def nullable(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
   /** One frame over `dirs`: a single multi-path scan for flat layouts;
     * per-dir scans unioned for partitioned ones (Spark refuses sibling
     * base paths that each carry `col=value/` subdirs in one scan —
     * CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning still applies
     * inside every member scan of the union. */
   private def readDirs(dirs: Seq[String]): DataFrame =
-    if (partitionScheme.isEmpty) spark.read.parquet(dirs: _*)
+    if (partitionScheme.isEmpty) cachedSchema match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None =>
+        val df = spark.read.parquet(dirs: _*)
+        cachedSchema = Some(nullable(df.schema))
+        df
+    }
     else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
 
   /** Read the table as of snapshot `n` (time travel): anchor at the latest
@@ -276,7 +295,10 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     // (no manifest references it — see class doc), so reclaiming it is safe
     val writer = toWrite.write.mode("overwrite")
     if (scheme.nonEmpty) writer.partitionBy(scheme: _*).parquet(out.toString)
-    else writer.parquet(out.toString)
+    else {
+      writer.parquet(out.toString)
+      cachedSchema = Some(nullable(toWrite.schema)) // the write defines the current shape
+    }
 
     // lineage from the committed files' footers (metadata only — no job)
     val stats = ParquetFooters.stats(out, seqCol)
