@@ -198,6 +198,25 @@ object Bench {
     (spark.read.parquet(seenDir), spark.read.parquet(idxDir))
   }
 
+  // STANDING slice handles for the on-disk benches — one cache per
+  // (session, dir), so reps measure the engine's steady-state path
+  // (index collected+broadcast once per index version, reused across
+  // runs; see CrawlEngine.StandingSliceIndex), not a per-pass
+  // re-collect the shipped engine no longer does
+  private val sliceCaches = scala.collection.mutable.HashMap
+    .empty[(String, String), graft.frontier.BloomDedup.SliceBlockCache]
+  private def standingSlices(spark: SparkSession, dir: String, idx: DataFrame,
+                             numBuckets: Int, numSlices: Int)
+      : Int => Option[graft.frontier.BloomDedup.SliceBlocks] = {
+    import graft.frontier.BloomDedup
+    val key = (spark.sparkContext.applicationId, dir)
+    sliceCaches.getOrElseUpdate(key, new BloomDedup.SliceBlockCache(spark, s => {
+      val bs = (s until numBuckets by numSlices).map(Integer.valueOf)
+      BloomDedup.collectBlocks(BloomDedup.mergeIndex(
+        idx.filter(col("bucket").isin(bs: _*))))
+    })).get
+  }
+
   def benchDedupSlicedDisk(spark: SparkSession, nCand: Long, nSeen: Long, dir: String,
                            numBuckets: Int = 64, numSlices: Int = 8): Double = {
     import graft.frontier.BloomDedup
@@ -210,7 +229,9 @@ object Bench {
     val (_, secs) = timed {
       var kept = 0L
       val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,
-        scanProbe = true) { (_, df) => kept += df.count() }
+        scanProbe = true,
+        sliceBlocks = standingSlices(spark, dir, idx, numBuckets, numSlices)) {
+        (_, df) => kept += df.count() }
       cleanup()
       kept
     }
@@ -239,7 +260,9 @@ object Bench {
     val (_, secs) = timed {
       var kept = 0L
       val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,
-        scanProbe = true) { (_, df) => kept += df.count() }
+        scanProbe = true,
+        sliceBlocks = standingSlices(spark, dir, idx, numBuckets, numSlices)) {
+        (_, df) => kept += df.count() }
       cleanup()
       kept
     }

@@ -232,6 +232,40 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   /** Which dedup regime governs (test/observability hook). */
   def slicedRegimeActive: Boolean = slicedActive
 
+  /** STANDING per-slice block broadcasts for a sliced-regime index
+    * (VERDICT r04 follow-up to r03 #1): without this, every micro-run
+    * re-read, re-shuffled (mergeIndex), re-collected and re-broadcast
+    * the UNCHANGED table-resident index — O(|index|) driver traffic per
+    * run (~1.3 GB at 10^9 seen keys), dwarfing the probe it fed; the
+    * point-lookup bench read a ~4x history-growth ratio on a pass whose
+    * probe is ~flat. The index only changes at fold/rebuild/flip
+    * commits, so the collected slice broadcasts (and their stable
+    * epochs — the executor-side deserialized filters stay warm too) are
+    * keyed on (snapshot, geometry, slices) and destroyed when any
+    * moves. Serialized bytes live in the block store (memory+disk,
+    * spillable); the |index|/slices bound still governs the
+    * DESERIALIZED working set via the executor cache budget. */
+  private final class StandingSliceIndex(idx: SnapshotTable) {
+    private var cache: Option[BloomDedup.SliceBlockCache] = None
+    private var key: (Long, Int, Int) = (-2L, 0, 0)
+    def provider(indexBuckets: Int, numSlices: Int): Int => Option[BloomDedup.SliceBlocks] = {
+      val now = (idx.latestSnapshot.getOrElse(-1L), indexBuckets, numSlices)
+      if (cache.isEmpty || key != now) {
+        cache.foreach(_.invalidate())
+        key = now
+        cache = Some(new BloomDedup.SliceBlockCache(spark, s => {
+          val bs = (s until indexBuckets by numSlices).map(Integer.valueOf)
+          BloomDedup.collectBlocks(BloomDedup.mergeIndex(
+            idx.read().get.select("bucket", "bloom")
+              .filter(col("bucket").isin(bs: _*))))
+        }))
+      }
+      cache.get.get
+    }
+  }
+  private val urlSliceIndex = new StandingSliceIndex(bloomidx)
+  private val imgSliceIndex = new StandingSliceIndex(imgidx)
+
   /** Flip broadcast → sliced, CARRYING the already-correct in-memory
     * block map into the bloomidx table as the sliced regime's initial
     * base — the flip costs one O(blocks) write, not an O(seen-set) index
@@ -514,8 +548,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val cleanup = BloomDedup.dedupSliced(cand, seen, idxRows,
           urlGeom.indexBuckets, sliceCount, scanProbe = true,
-          storageBuckets = cfg.bloomBuckets) { (_, out) =>
-          parts += out
+          storageBuckets = cfg.bloomBuckets,
+          sliceBlocks = urlSliceIndex.provider(urlGeom.indexBuckets, sliceCount)) {
+          (_, out) => parts += out
         }
         (parts.reduce(_.unionByName(_)), cleanup)
       }
@@ -716,8 +751,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val cleanup = BloomDedup.dedupSliced(cand, seenIds, idxRows,
         imgGeom.indexBuckets, imageSliceCount, scanProbe = true,
-        joinKey = "image_id", storageBuckets = cfg.bloomBuckets) { (_, out) =>
-        parts += out
+        joinKey = "image_id", storageBuckets = cfg.bloomBuckets,
+        sliceBlocks = imgSliceIndex.provider(imgGeom.indexBuckets, imageSliceCount)) {
+        (_, out) => parts += out
       }
       (parts.reduce(_.unionByName(_)), cleanup)
     }

@@ -116,6 +116,56 @@ object BloomDedup {
     idxRows.groupBy("bucket").agg(agg(col("bloom")).as("bloom"))
   }
 
+  /** A STANDING, caller-owned handle to one slice's collected Bloom
+    * blocks: the broadcast of the serialized block map plus a stable
+    * epoch. Stability is the point — [[dedupScan]] generates a fresh
+    * random epoch per call, which keys the executor-side deserialized-
+    * block cache per CALL; a standing handle keeps one epoch per
+    * (index snapshot, slice), so across micro-runs executors re-test
+    * against already-deserialized filters and the driver never
+    * re-collects an unchanged index. [[dedupScan]]/[[dedupSliced]]
+    * never destroy a provided handle; the owner does, when the index
+    * underneath it changes ([[SliceBlockCache.invalidate]]). */
+  final case class SliceBlocks(epoch: Long,
+                               bc: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]])
+
+  /** Memoized per-slice [[SliceBlocks]] over an immutable index — the
+    * steady-state handle an engine holds between micro-runs (VERDICT
+    * r04: re-reading + re-shuffling + re-collecting + re-broadcasting
+    * the UNCHANGED index was O(|index|) per run — at 10^9 seen keys
+    * ~1.3 GB of driver traffic per micro-run, the term the point-lookup
+    * bench exposed as a ~4x history-growth ratio on a probe that should
+    * be ~flat). `loadSlice` runs ONCE per slice per index version; the
+    * serialized bytes then live in the block store (memory+disk,
+    * spillable — the |index|/slices DESERIALIZED working-set bound still
+    * holds via the executor cache's budget + soft refs). Call
+    * [[invalidate]] whenever the underlying index changes: it destroys
+    * the broadcasts and rotates the epoch base so stale executor-cache
+    * entries can never satisfy a new index's probes. */
+  final class SliceBlockCache(spark: => org.apache.spark.sql.SparkSession,
+                              loadSlice: Int => Map[Int, Array[Byte]]) {
+    private val rng = new java.security.SecureRandom()
+    private var base = rng.nextLong()
+    private val slices = scala.collection.mutable.HashMap.empty[Int, SliceBlocks]
+    // SplitMix64 finalizer: slice indexes are tiny ints — mixing keeps
+    // (epoch + bucket) executor-cache keys collision-free across slices
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def get(s: Int): Option[SliceBlocks] = Some(synchronized {
+      slices.getOrElseUpdate(s,
+        SliceBlocks(mix(base + s), spark.sparkContext.broadcast(loadSlice(s))))
+    })
+    def invalidate(): Unit = synchronized {
+      slices.valuesIterator.foreach(sb => sb.bc.destroy())
+      slices.clear()
+      base = rng.nextLong()
+    }
+  }
+
   /** Distributively fold raw key hashes into an existing block table —
     * the sliced regime's compaction primitive (VERDICT r03 #1): per-run
     * delta blocks built at the standing index's geometry would each be
@@ -195,12 +245,20 @@ object BloomDedup {
     * divides the other (always true for the engine's power-of-two
     * multiples; when numSlices > storageBuckets the IN is a superset —
     * over-inclusion on the probe side is harmless), falling back to an
-    * exact non-pushed pmod filter otherwise. */
+    * exact non-pushed pmod filter otherwise.
+    *
+    * `sliceBlocks` (scan-probe mode only): a STANDING per-slice handle
+    * provider ([[SliceBlockCache.get]]). When it yields a handle, the
+    * per-pass merge+collect+broadcast of that slice's index rows is
+    * SKIPPED — the steady-state path for micro-run cadence over an
+    * index that only changes at fold/rebuild points. `None` (default)
+    * keeps the self-contained per-pass collect. */
   def dedupSliced(candidates: DataFrame, seen: DataFrame, idxRows: DataFrame,
                   numBuckets: Int, numSlices: Int, scanProbe: Boolean = false,
                   maxProbeBroadcastRows: Long = 4L << 20,
                   joinKey: String = "url_hash",
-                  storageBuckets: Int = -1)
+                  storageBuckets: Int = -1,
+                  sliceBlocks: Int => Option[SliceBlocks] = _ => None)
                  (each: (Int, DataFrame) => Unit): () => Unit = {
     require(numSlices >= 1 && numBuckets % numSlices == 0,
       s"numSlices $numSlices must divide numBuckets $numBuckets")
@@ -223,7 +281,7 @@ object BloomDedup {
       // stats skip every other slice's blocks instead of reading the full
       // index numSlices times per pass
       val sliceBuckets = (s until numBuckets by numSlices).map(Integer.valueOf)
-      val sliceIdx = mergeIndex(idxRows.filter(col("bucket").isin(sliceBuckets: _*)))
+      def sliceIdx = mergeIndex(idxRows.filter(col("bucket").isin(sliceBuckets: _*)))
       val candS = candidates.filter(pmod(bucketOf(candidates), lit(numSlices)) === s)
       // when the seen table carries a materialized `bucket` column, the
       // slice restriction becomes a plain IN over concrete values — a
@@ -260,9 +318,14 @@ object BloomDedup {
         else // hash-less seen side (e.g. an image_id payload table)
           seen.filter(pmod(xxhash64(col(joinKey)), lit(numSlices)) === s)
       if (scanProbe) {
-        val blocks = collectBlocks(sliceIdx)
-        val (out, cleanup) = dedupScan(candS, seenS, blocks, numBuckets,
-          maxProbeBroadcastRows, joinKey, storageB)
+        val (out, cleanup) = sliceBlocks(s) match {
+          case Some(standing) =>
+            dedupScanWith(candS, seenS, standing, numBuckets,
+              maxProbeBroadcastRows, joinKey, storageB)
+          case None =>
+            dedupScan(candS, seenS, collectBlocks(sliceIdx), numBuckets,
+              maxProbeBroadcastRows, joinKey, storageB)
+        }
         cleanups += cleanup
         each(s, out)
       } else {
@@ -339,22 +402,43 @@ object BloomDedup {
                 joinKey: String = "url_hash", storageBuckets: Int = -1,
                 pointLookupMaxRows: Long = 1024L)
       : (DataFrame, () => Unit) = {
+    val sc = candidates.sparkSession.sparkContext
+    val handle = SliceBlocks(new java.security.SecureRandom().nextLong(),
+      sc.broadcast(blocks))
+    dedupScanWith(candidates, seen, handle, numBuckets, maxProbeBroadcastRows,
+      joinKey, storageBuckets, pointLookupMaxRows, ownsBroadcast = true)
+  }
+
+  /** [[dedupScan]] over a STANDING [[SliceBlocks]] handle: the caller
+    * owns the broadcast (reused across runs, destroyed only when the
+    * index changes) and the stable epoch keeps the executor-side
+    * deserialized blocks warm between calls. */
+  def dedupScanWith(candidates: DataFrame, seen: DataFrame, standing: SliceBlocks,
+                    numBuckets: Int, maxProbeBroadcastRows: Long = 4L << 20,
+                    joinKey: String = "url_hash", storageBuckets: Int = -1,
+                    pointLookupMaxRows: Long = 1024L,
+                    ownsBroadcast: Boolean = false)
+      : (DataFrame, () => Unit) = {
     val spark = candidates.sparkSession
     val sc = spark.sparkContext
     val storageB = if (storageBuckets > 0) storageBuckets else numBuckets
     val outCols = candidates.columns.map(col)
-    val epoch = new java.security.SecureRandom().nextLong()
-    val bc = sc.broadcast(blocks)
+    val epoch = standing.epoch
+    val bc = standing.bc
     val acc = sc.longAccumulator("bloom-survivors")
     val before = sc.getPersistentRDDs.keySet
-    // destroy in finally: a task failure inside the eager checkpoint must
-    // not pin a flip-point-sized (≤ maxBroadcastBytes) block broadcast
+    // owned broadcasts (the per-call dedupScan path) are destroyed in a
+    // finally: a task failure inside the eager checkpoint must not pin a
+    // flip-point-sized (≤ maxBroadcastBytes) block broadcast. STANDING
+    // handles outlive the call by design — only the bloom test inside
+    // this checkpoint reads the broadcast, so the owner may destroy it
+    // any time after this call returns, even with probe frames pending.
     val flagged =
       try candidates.withColumn("__maybe",
           graft.functions.BloomMightContain.counting(epoch, bc, acc,
             pmod(col("url_hash"), lit(numBuckets)).cast("int"), col("url_hash")))
         .localCheckpoint()
-      finally bc.destroy()
+      finally if (ownsBroadcast) bc.destroy()
     val created = sc.getPersistentRDDs.keySet -- before
     val cleanup = () => created.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
