@@ -204,12 +204,15 @@ object Bench {
   // runs; see CrawlEngine.StandingSliceIndex), not a per-pass
   // re-collect the shipped engine no longer does
   private val sliceCaches = scala.collection.mutable.HashMap
-    .empty[(String, String), graft.frontier.BloomDedup.SliceBlockCache]
+    .empty[(String, String, Long, Int, Int), graft.frontier.BloomDedup.SliceBlockCache]
   private def standingSlices(spark: SparkSession, dir: String, idx: DataFrame,
-                             numBuckets: Int, numSlices: Int)
+                             nSeen: Long, numBuckets: Int, numSlices: Int)
       : Int => Option[graft.frontier.BloomDedup.SliceBlocks] = {
     import graft.frontier.BloomDedup
-    val key = (spark.sparkContext.applicationId, dir)
+    // keyed on the table params too: a same-session rebuild of `dir`
+    // (changed fingerprint) must not serve the OLD index's blocks —
+    // keys absent from stale blocks would read "definitely unseen"
+    val key = (spark.sparkContext.applicationId, dir, nSeen, numBuckets, numSlices)
     sliceCaches.getOrElseUpdate(key, new BloomDedup.SliceBlockCache(spark, s => {
       val bs = (s until numBuckets by numSlices).map(Integer.valueOf)
       BloomDedup.collectBlocks(BloomDedup.mergeIndex(
@@ -230,7 +233,7 @@ object Bench {
       var kept = 0L
       val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,
         scanProbe = true,
-        sliceBlocks = standingSlices(spark, dir, idx, numBuckets, numSlices)) {
+        sliceBlocks = standingSlices(spark, dir, idx, nSeen, numBuckets, numSlices)) {
         (_, df) => kept += df.count() }
       cleanup()
       kept
@@ -261,7 +264,7 @@ object Bench {
       var kept = 0L
       val cleanup = BloomDedup.dedupSliced(cand, seen, idx, numBuckets, numSlices,
         scanProbe = true,
-        sliceBlocks = standingSlices(spark, dir, idx, numBuckets, numSlices)) {
+        sliceBlocks = standingSlices(spark, dir, idx, nSeen, numBuckets, numSlices)) {
         (_, df) => kept += df.count() }
       cleanup()
       kept

@@ -78,6 +78,10 @@ object CrawlDemo {
         f"dedupDropped=${s.dedupDropped}%5d delay=${s.delayMsAfter}%6.1fms " +
         f"wall=${w}%5.2fs jobs=$j%3d")
     }
+    // the listener bus delivers job-end events asynchronously — give it a
+    // beat to drain before reading the counters, or the last runs' jobs
+    // undercount inJobMillis and overstate the printed driver gap
+    Thread.sleep(1000)
     import scala.jdk.CollectionConverters._
     jobSites.asScala.toSeq.sortBy(-_._2).foreach { case (site, n) =>
       val ms = Option(jobMillis.get(site)).map(_.longValue()).getOrElse(0L)

@@ -99,8 +99,12 @@ object ScalingBench {
     * median (best, spread), VERDICT r03 #7: best-of-N alone flatters on
     * a ±35%-drift host. */
   private def writePoint(stage: String, cores: Int, reps: Seq[Double]): Unit = {
-    val json = f"""{"stage":"$stage","cores":$cores,"rate":${reps.max}%.1f,""" +
-      s""""reps":[${reps.map(r => f"$r%.1f").mkString(",")}]}"""
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would corrupt the comma-separated reps array
+    // (readReps splits on commas) into silently-wrong medians
+    def num(r: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(r))
+    val json = s"""{"stage":"$stage","cores":$cores,"rate":${num(reps.max)},""" +
+      s""""reps":[${reps.map(num).mkString(",")}]}"""
     Files.writeString(pointPath(stage, cores), json)
     println(s"SCALING_POINT $json")
   }

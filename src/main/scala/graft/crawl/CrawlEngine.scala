@@ -59,11 +59,16 @@ final case class CrawlConfig(
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   // a broadcast map/slice that cannot fit the executor block cache
-  // degenerates the Bloom test to a deserialization per ROW — the
-  // sizing invariant the cache relies on must hold up front
-  require(maxBroadcastBytes <= graft.functions.BloomRuntime.MaxCacheBytes,
-    s"maxBroadcastBytes $maxBroadcastBytes exceeds the executor Bloom-block " +
-      s"cache budget ${graft.functions.BloomRuntime.MaxCacheBytes} " +
+  // degenerates the Bloom test to repeated deserializations — validate
+  // the sizing invariant ONLY against an EXPLICIT cache-budget property:
+  // the heap-derived default is this (driver) JVM's heap, not the
+  // executors' where the cache lives, and failing default configs on
+  // small driver JVMs helped nobody (correctness never depends on the
+  // cache — overflow wipes + soft refs just cost speed)
+  require(!sys.props.contains("graft.bloom.cacheBytes") ||
+      maxBroadcastBytes <= graft.functions.BloomRuntime.MaxCacheBytes,
+    s"maxBroadcastBytes $maxBroadcastBytes exceeds the configured executor " +
+      s"Bloom-block cache budget ${graft.functions.BloomRuntime.MaxCacheBytes} " +
       "(raise -Dgraft.bloom.cacheBytes to at least match)")
 }
 // the auto-flip slice count is ADAPTIVE in the index size — see
@@ -556,6 +561,29 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       }
   }
 
+  /** Retryable successor rows from attempt rows: failed below the retry
+    * cap spawns (attempt+1) in the pending shape. THE retry predicate —
+    * pendingMaterialized and rebuildPending must agree or the derived
+    * pending set silently diverges from the rebuild path. */
+  private def retryRows(attempts: DataFrame): DataFrame =
+    attempts.filter((col("status") === 500 || col("status") === 0) &&
+        col("attempt") < cfg.maxRetries)
+      .select(col("url"), col("url_hash"), col("host"),
+        url_path(col("url")).as("path"), lit(0.0).as("priority"),
+        col("depth"), col("seq"), (col("attempt") + 1).as("attempt"))
+      .select(PendingCols.map(col): _*)
+
+  /** One min-seq row per url_hash — map-side-combining aggregate, not a
+    * window sort; the struct ordering keeps the pick deterministic under
+    * seq ties. THE frontier dedup fold (batch links, frontier deltas). */
+  private def minSeqPerHash(rows: DataFrame): DataFrame =
+    rows.groupBy("url_hash")
+      .agg(min(struct(col("seq"), col("url"), col("host"), col("path"),
+        col("priority"), col("depth"))).as("m"))
+      .select(col("m.url").as("url"), col("url_hash"), col("m.host").as("host"),
+        col("m.path").as("path"), col("m.priority").as("priority"),
+        col("m.depth").as("depth"), col("m.seq").as("seq"))
+
   /** Rebuild the pending work set from first principles — frontier ∖ seen
     * (dedup'd by min-seq per hash: the discovery log may carry crash-window
     * duplicate appends) ∪ latest-attempt retryables. The slow, always-
@@ -570,15 +598,8 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       .select(PendingCols.map(col): _*)
     val retryPart = fetchlog.read().map { log =>
       val w = Window.partitionBy(col("url_hash")).orderBy(desc("attempt"))
-      log.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 &&
-          (col("status") === 500 || col("status") === 0) &&
-          col("attempt") < cfg.maxRetries)
-        .select(col("url"), col("url_hash"), col("host"),
-          url_path(col("url")).as("path"),
-          lit(0.0).as("priority"), col("depth"), col("seq"),
-          (col("attempt") + 1).as("attempt"))
-        .select(PendingCols.map(col): _*)
+      retryRows(log.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
     }
     (retryPart.map(newPart.unionByName(_)).getOrElse(newPart), cleanup)
   }
@@ -608,24 +629,10 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val c0 = pending.coversOf(b).getOrElse(0L)
     val f0 = pending.metricOf(b, "frontier_covers").map(_.toLong).getOrElse(0L)
     val newDisc = frontier.readBetween(f0, frontier.latestDataSnapshot.getOrElse(0L))
-      .map { fd =>
-        fd.groupBy("url_hash")
-          .agg(min(struct(col("seq"), col("url"), col("host"), col("path"),
-            col("priority"), col("depth"))).as("m"))
-          .select(col("m.url").as("url"), col("url_hash"), col("m.host").as("host"),
-            col("m.path").as("path"), col("m.priority").as("priority"),
-            col("m.depth").as("depth"), col("m.seq").as("seq"), lit(1).as("attempt"))
-          .select(PendingCols.map(col): _*)
-      }
+      .map(fd => minSeqPerHash(fd).withColumn("attempt", lit(1))
+        .select(PendingCols.map(col): _*))
     val attSince = fetchlog.readBetween(c0, logHead)
-    val retries = attSince.map { att =>
-      att.filter((col("status") === 500 || col("status") === 0) &&
-          col("attempt") < cfg.maxRetries)
-        .select(col("url"), col("url_hash"), col("host"),
-          url_path(col("url")).as("path"), lit(0.0).as("priority"),
-          col("depth"), col("seq"), (col("attempt") + 1).as("attempt"))
-        .select(PendingCols.map(col): _*)
-    }
+    val retries = attSince.map(retryRows)
     val live = (Seq(base) ++ newDisc ++ retries).reduce(_.unionByName(_))
     attSince match {
       case Some(att) =>
@@ -665,9 +672,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
   /** One micro-run; None when the frontier is drained. */
   def runOnce(): Option[RunStats] = {
+    // persist: the pending set is DERIVED now (base + deltas + two
+    // anti-joins) and has two consumers per run — the fetch schedule and
+    // the new-candidate anti-join — so caching saves one full
+    // re-derivation per run. No isEmpty pre-check — the drain test rides
+    // the fetch count.
     val pend = pendingLive().getOrElse(return None)
-    // no persist: the fetch pass is the schedule's only consumer now, and
-    // no isEmpty pre-check either — the drain test rides the fetch count
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val scheduled = Scheduler.schedule(pend, robotsDf, pol)
 
     // A1 progress metrics ride the fetch pass itself via Dataset.observe
@@ -697,7 +708,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     results.count() // materializes the cache once; completes the observation
     val observed = obs.get
     val nScheduled = observed("n").asInstanceOf[Long]
-    if (nScheduled == 0) { results.unpersist(); return None }
+    if (nScheduled == 0) { results.unpersist(); pend.unpersist(); return None }
     val nOk = observed("ok").asInstanceOf[Long]
     val nFail = nScheduled - nOk
     val totalLinks = observed("links").asInstanceOf[Long]
@@ -822,6 +833,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       bucketSalted(imageRowsB, xxhash64(col("image_id")), (nOk / 5000 + 1).toInt),
       Map("run" -> runId.toDouble), None,
       skipIfEmpty = true).rows // count via footers
+    // estimate BEFORE the maintenance below: the fold/resize gates must
+    // see the post-commit cardinality (the URL side increments before
+    // its maintenance too) — a stale estimate let a fold pack hashes
+    // into blocks the very next dedup's geometry check would discard
+    imageRowsEst += nNewImages
     // Bloom maintenance IMMEDIATELY after the commit (before any other
     // fallible step): once the manifest exists the blocks must cover it,
     // or a same-session retry could see a committed id as definitely-new.
@@ -867,7 +883,6 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         flipImageToSliced(merged)
       else imageBlooms = Some(merged)
     }
-    imageRowsEst += nNewImages
     imageRowsB.unpersist()
     imgCleanup()
 
@@ -886,18 +901,11 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       .withColumn("path", url_path(col("url")))
       .withColumn("priority", -col("depth").cast("double"))
 
-    // dedup within batch (min-seq row per url — map-side-combining agg,
-    // not a window sort), vs the live pending set (covers scheduled ⊆
-    // pending and every not-yet-attempted discovery), vs the seen set
-    // (Bloom prefilter + exact probe). The old full frontier-history
-    // anti-join is gone — frontier ≡ pending ∪ seen.
-    val batchUnique = links
-      .groupBy("url_hash")
-      .agg(min(struct(col("seq"), col("url"), col("host"), col("path"),
-        col("priority"), col("depth"))).as("m"))
-      .select(col("m.url").as("url"), col("url_hash"), col("m.host").as("host"),
-        col("m.path").as("path"), col("m.priority").as("priority"),
-        col("m.depth").as("depth"), col("m.seq").as("seq"))
+    // dedup within batch (minSeqPerHash), vs the live pending set (covers
+    // scheduled ⊆ pending and every not-yet-attempted discovery), vs the
+    // seen set (Bloom prefilter + exact probe). The old full
+    // frontier-history anti-join is gone — frontier ≡ pending ∪ seen.
+    val batchUnique = minSeqPerHash(links)
     val vsPending = batchUnique
       .join(pend.select("url_hash"), Seq("url_hash"), "left_anti")
     val (dedupedCand, dedupCleanup) = dedupVsSeen(vsPending)
@@ -1025,7 +1033,7 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     val blockedRate = if (nScheduled == 0) 0.0 else nFail.toDouble / nScheduled
     pol = Scheduler.nextDelay(pol, successRate, blockedRate)
 
-    results.unpersist(); newCandidates.unpersist(); dedupCleanup()
+    results.unpersist(); newCandidates.unpersist(); pend.unpersist(); dedupCleanup()
     Some(RunStats(runId, nScheduled, nOk, nFail, nNewImages, nNewCand,
       totalLinks - nNewCand, pol.clampedDelay))
   }
