@@ -72,9 +72,20 @@ object BloomRuntime {
     * through a join (a joined binary column is re-copied out of its
     * UnsafeRow for EVERY candidate row, which costs more than the exact
     * anti-join Bloom is meant to save — measured, not theory). */
+  // SplitMix64 finalizer: cache keys are mix(epoch) ^ bucket, so two live
+  // epochs can never collide across buckets by a small additive offset
+  // (epoch + bucket allowed it structurally; callers' epochs are random
+  // 64-bit so the probability was ~2^-40, but one mix makes it impossible)
+  private def mixEpoch(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def test(epoch: Long, bucket: Int, hash: Long,
            bc: Broadcast[Map[Int, Array[Byte]]]): Boolean = {
-    val key = epoch + bucket
+    val key = mixEpoch(epoch) ^ bucket
     var bf = deref(key)
     if (bf == null) {
       bc.value.get(bucket) match {

@@ -44,12 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    anchor at the latest base ≤ the requested snapshot and apply only
   *    later deltas. Bounds merge-on-read cost to O(base + deltas-since).
   */
-class SnapshotTable(spark: => SparkSession, root: String) {
+class SnapshotTable(spark: => SparkSession, root: String,
+                    writeOptions: Map[String, String] = Map.empty) {
   // `spark` is BY-NAME: the manifest-metadata methods (snapshots, kindOf,
   // coversOf, metricOf, totalRows, …) are pure file reads, so metadata
-  // tooling (graft.CrawlManager) can construct a table without a session
+  // tooling (graft.CrawlManager) can construct a table without a session.
+  // `writeOptions` ride every data write (e.g. parquet column bloom
+  // filters for point-probed key columns — SnapshotTable.bloomFilterFor)
 
-  final case class CommitResult(id: Long, rows: Long)
+  import SnapshotTable.{CommitResult, Prepared}
 
   private def commitsDir: Path = Paths.get(root, "commits")
   private def dataDir(n: Long): Path = Paths.get(root, "data", f"commit-$n%06d")
@@ -112,7 +115,11 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     * Metric names must not collide with top-level manifest fields —
     * callers use distinctive keys (e.g. "expected_per_bucket"). */
   def metricOf(n: Long, key: String): Option[Double] =
-    s""""$key":(-?[0-9.eE+]+)""".r.findFirstMatchIn(manifestText(n))
+    // a full JSON-number pattern: the old char-class ([0-9.eE+]) had no
+    // '-' INSIDE it, so a negative exponent (4.9E-4) matched as "4.9E"
+    // and .toDouble threw (ADVICE r04 — latent for any sub-1e-3 metric)
+    s""""$key":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      .findFirstMatchIn(manifestText(n))
       .map(_.group(1).toDouble)
 
   /** Hive-style partition columns of snapshot `n`'s data layout (empty =
@@ -137,11 +144,12 @@ class SnapshotTable(spark: => SparkSession, root: String) {
   // known data schema (from the last write or first read): passing it to
   // the reader skips parquet's footer-sampling SCHEMA-INFERENCE JOB — at
   // micro-run cadence those were ~5 jobs per run, a measured slice of the
-  // fixed-cost floor. Columns added by later commits surface after the
-  // commit that writes them refreshes the cache (reads before that see
-  // the old shape — the engine treats a missing `bucket` column as
-  // bucket-less, which is correct, just unpruned). Flat layouts only.
-  private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+  // fixed-cost floor. KEYED on the table head snapshot (ADVICE r04): a
+  // commit by ANOTHER SnapshotTable instance or process on the same root
+  // advances the head, which invalidates this instance's cached shape on
+  // its next read instead of pinning the first-seen schema for the
+  // instance's lifetime. Flat layouts only.
+  private var cachedSchema: Option[(Long, org.apache.spark.sql.types.StructType)] = None
   // all-nullable: a commit's tight nullability must not reject older
   // commits' null cells when the cached shape is applied to a union read
   private def nullable(s: org.apache.spark.sql.types.StructType) =
@@ -152,12 +160,12 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     * base paths that each carry `col=value/` subdirs in one scan —
     * CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning still applies
     * inside every member scan of the union. */
-  private def readDirs(dirs: Seq[String]): DataFrame =
+  private def readDirs(dirs: Seq[String], head: Long): DataFrame =
     if (partitionScheme.isEmpty) cachedSchema match {
-      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
-      case None =>
+      case Some((h, s)) if h == head => spark.read.schema(s).parquet(dirs: _*)
+      case _ =>
         val df = spark.read.parquet(dirs: _*)
-        cachedSchema = Some(nullable(df.schema))
+        cachedSchema = Some((head, nullable(df.schema)))
         df
     }
     else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
@@ -166,7 +174,9 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     * base ≤ n, union data dirs in [anchor, n], anti-join delete keys in
     * (anchor, n]. */
   def readAt(n: Long): Option[DataFrame] = {
-    val ids = snapshots.filter(_ <= n)
+    val all = snapshots
+    val head = all.lastOption.getOrElse(-1L)
+    val ids = all.filter(_ <= n)
     if (ids.isEmpty) return None
     val anchor = ids.filter(kindOf(_) == "base").lastOption.getOrElse(Long.MinValue)
     // bin-packed dirs are replaced by their merge commit's dir as of the
@@ -175,7 +185,7 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     val live = ids.filter(id => id >= anchor && !packed.contains(id))
     val dataDirs = live.map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
     if (dataDirs.isEmpty) return None
-    val data = readDirs(dataDirs)
+    val data = readDirs(dataDirs, head)
     val delDirs = live.filter(_ > anchor)
       .filter(id => HasDeletesRe.findFirstIn(manifestText(id)).isDefined)
       .map(deleteDir).filter(Files.isDirectory(_)).map(_.toString)
@@ -235,7 +245,8 @@ class SnapshotTable(spark: => SparkSession, root: String) {
       .filter(id => Files.isDirectory(dataDir(id)))
       .take(maxDirs)
     if (candidates.size < 2) return None
-    val df = transform(readDirs(candidates.map(dataDir(_).toString)))
+    val df = transform(readDirs(candidates.map(dataDir(_).toString),
+      latestSnapshot.getOrElse(-1L)))
     Some(commitKind(df, metrics, None, 0, "merge", None, None,
       merges = Some(candidates)).id)
   }
@@ -266,7 +277,8 @@ class SnapshotTable(spark: => SparkSession, root: String) {
       .filter(id => Files.isDirectory(dataDir(id)))
       .take(maxDirs)
     if (candidates.size < maxDirs) return None
-    val df = transform(readDirs(candidates.map(dataDir(_).toString)))
+    val df = transform(readDirs(candidates.map(dataDir(_).toString),
+      latestSnapshot.getOrElse(-1L)))
     Some(commitKind(df, metrics, None, 0, "merge", None, None,
       merges = Some(candidates), mergeLevel = 2).id)
   }
@@ -278,12 +290,11 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     commitKind(df, metrics, seqCol, coalesceTo, "append", None, Some(covers), skipIfEmpty,
       partitionBy)
 
-  private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
-                         coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
-                         covers: Option[Long], skipIfEmpty: Boolean = false,
-                         partitionBy: Seq[String] = Nil,
-                         merges: Option[Seq[Long]] = None,
-                         mergeLevel: Int = 1): CommitResult = {
+  /** Write `df`'s data files for the next snapshot id, without the
+    * manifest. Returns footer-derived row count + lineage; pair with
+    * [[commitPrepared]] to publish. */
+  def prepare(df: DataFrame, seqCol: Option[String] = None, coalesceTo: Int = 0,
+              partitionBy: Seq[String] = Nil): Prepared = {
     val id = latestSnapshot.getOrElse(0L) + 1L
     val out = dataDir(id)
     // the table's existing layout wins over the caller's request — one
@@ -293,20 +304,47 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     val toWrite = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     // "overwrite": a dir at this id can only be a crashed run's orphan
     // (no manifest references it — see class doc), so reclaiming it is safe
-    val writer = toWrite.write.mode("overwrite")
+    val writer = toWrite.write.options(writeOptions).mode("overwrite")
     if (scheme.nonEmpty) writer.partitionBy(scheme: _*).parquet(out.toString)
-    else {
-      writer.parquet(out.toString)
-      cachedSchema = Some(nullable(toWrite.schema)) // the write defines the current shape
-    }
-
+    else writer.parquet(out.toString)
     // lineage from the committed files' footers (metadata only — no job)
     val stats = ParquetFooters.stats(out, seqCol)
-    val rows = stats.map(_.rows).sum
+    Prepared(id, stats.map(_.rows).sum, scheme, stats,
+      if (scheme.isEmpty) Some(nullable(toWrite.schema)) else None)
+  }
+
+  /** Publish the manifest of a [[prepare]]d snapshot. `skipIfEmpty` with
+    * zero rows reclaims the data dir and commits nothing. */
+  def commitPrepared(p: Prepared, metrics: Map[String, Double],
+                     covers: Option[Long] = None, skipIfEmpty: Boolean = false): CommitResult =
+    publish(p, metrics, "append", None, covers, skipIfEmpty, None, 1)
+
+  private def commitKind(df: DataFrame, metrics: Map[String, Double], seqCol: Option[String],
+                         coalesceTo: Int, kind: String, deleteKeys: Option[DataFrame],
+                         covers: Option[Long], skipIfEmpty: Boolean = false,
+                         partitionBy: Seq[String] = Nil,
+                         merges: Option[Seq[Long]] = None,
+                         mergeLevel: Int = 1): CommitResult =
+    publish(prepare(df, seqCol, coalesceTo, partitionBy), metrics, kind, deleteKeys,
+      covers, skipIfEmpty, merges, mergeLevel)
+
+  private def publish(p: Prepared, metrics: Map[String, Double], kind: String,
+                      deleteKeys: Option[DataFrame], covers: Option[Long],
+                      skipIfEmpty: Boolean, merges: Option[Seq[Long]],
+                      mergeLevel: Int): CommitResult = {
+    val id = p.id
+    val out = dataDir(id)
+    val scheme = p.scheme
+    val stats = p.stats
+    val rows = p.rows
     if (rows == 0 && skipIfEmpty && deleteKeys.isEmpty) {
       deleteRecursively(out)
       return CommitResult(latestSnapshot.getOrElse(0L), 0L)
     }
+    // the write defines the current shape — cached only once the
+    // manifest is certain to land (a SKIPPED empty commit must not key
+    // the cache to an id that never becomes the head)
+    p.schema.foreach(s => cachedSchema = Some((id, s)))
     val delDirJson = deleteKeys.map { dk =>
       val dd = deleteDir(id)
       dk.coalesce(1).write.mode("overwrite").parquet(dd.toString)
@@ -357,16 +395,18 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     * the incremental contract is unaffected by bin-packing. None when
     * no data dirs exist in the range. */
   def readBetween(a: Long, b: Long): Option[DataFrame] = {
-    val dirs = snapshots.filter(id => id > a && id <= b)
+    val all = snapshots
+    val dirs = all.filter(id => id > a && id <= b)
       .filter(id => { val k = kindOf(id); k == "append" || k == "delta" })
       .map(dataDir).filter(Files.isDirectory(_)).map(_.toString)
-    if (dirs.isEmpty) None else Some(readDirs(dirs))
+    if (dirs.isEmpty) None
+    else Some(readDirs(dirs, all.lastOption.getOrElse(-1L)))
   }
 
   /** Latest base (compaction) snapshot id ≤ the head, when one exists. */
   def latestBase: Option[Long] = snapshots.filter(kindOf(_) == "base").lastOption
 
-  private val NRowsRe = "\"n_rows\":([0-9.eE+]+)".r
+  private val NRowsRe = "\"n_rows\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
 
   /** Total committed rows since the last base — a manifest-derived
     * cardinality estimate (metadata only, no job). Merge commits rewrite
@@ -396,4 +436,33 @@ class SnapshotTable(spark: => SparkSession, root: String) {
     val id = latestSnapshot.getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(dataDir(id).toString)
   }
+}
+
+object SnapshotTable {
+  final case class CommitResult(id: Long, rows: Long)
+
+  /** A PREPARED snapshot: data files fully written under the allocated
+    * id's dir, manifest NOT yet published — readers still ignore the dir
+    * (until `commitPrepared` it is indistinguishable from a crashed
+    * run's orphan, which is exactly the crash contract). The split lets
+    * INDEPENDENT tables' data writes — the expensive Spark jobs — run
+    * concurrently while their manifests still publish in dependency
+    * order (CrawlEngine: images → frontier → fetchlog, the completion
+    * marker last). At most one prepare may be outstanding per table:
+    * the snapshot id is allocated at prepare time. */
+  final case class Prepared(id: Long, rows: Long, scheme: Seq[String],
+                            stats: Seq[ParquetFooters.FileStats],
+                            schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** Parquet write options that add a FILE-LEVEL (row-group) Bloom filter
+    * on `column` (VERDICT r04 #3): the point-lookup probe's pushed
+    * IN(key,…) then skips non-matching row groups from the footer-adjacent
+    * Bloom bytes alone, without touching their page-level column indexes —
+    * the residual history term of a point probe stops paying page-index IO
+    * per file as the crawl grows. ADAPTIVE sizing (parquet-mr ≥1.14) keeps
+    * the filter proportional to the observed distinct count, so micro-run
+    * commits (hundreds of rows) don't pay a fixed max-bytes filter each. */
+  def bloomFilterFor(column: String): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$column" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true")
 }
