@@ -177,7 +177,9 @@ object Bench {
     val seenDir = s"$dir/seen"
     val idxDir = s"$dir/idx"
     val fpFile = Paths.get(dir, "params.json")
-    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"sorted-v2"}"""
+    // v3: + parquet Bloom filter on url_hash (the engine's fetchlog write
+    // options) — the point-lookup rows measure row-group Bloom skipping
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"sorted-v3"}"""
     val reusable = Files.exists(fpFile) && Files.readString(fpFile) == fp &&
       Files.exists(Paths.get(seenDir, "_SUCCESS")) &&
       Files.exists(Paths.get(idxDir, "_SUCCESS"))
@@ -189,7 +191,8 @@ object Bench {
         .withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
       rows.repartitionByRange(numBuckets * 2, col("bucket"), col("url_hash"))
         .sortWithinPartitions(col("bucket"), col("url_hash"))
-        .write.mode("overwrite").parquet(seenDir)
+        .write.options(graft.table.SnapshotTable.bloomFilterFor("url_hash"))
+        .mode("overwrite").parquet(seenDir)
       BloomDedup.buildIndex(spark.read.parquet(seenDir), numBuckets,
           expectedPerBucket = nSeen / numBuckets + 1)
         .write.mode("overwrite").parquet(idxDir)
@@ -211,8 +214,14 @@ object Bench {
     import graft.frontier.BloomDedup
     // keyed on the table params too: a same-session rebuild of `dir`
     // (changed fingerprint) must not serve the OLD index's blocks —
-    // keys absent from stale blocks would read "definitely unseen"
-    val key = (spark.sparkContext.applicationId, dir, nSeen, numBuckets, numSlices)
+    // keys absent from stale blocks would read "definitely unseen".
+    // Entries from STOPPED sessions are dropped first (ADVICE r04: a
+    // multi-session campaign leaked every dead session's cache, each
+    // holding dead-context broadcast stubs + captured frames); their
+    // broadcasts died with their context, so dropping needs no destroy.
+    val appId = spark.sparkContext.applicationId
+    sliceCaches.filterInPlace { case ((a, _, _, _, _), _) => a == appId }
+    val key = (appId, dir, nSeen, numBuckets, numSlices)
     sliceCaches.getOrElseUpdate(key, new BloomDedup.SliceBlockCache(spark, s => {
       val bs = (s until numBuckets by numSlices).map(Integer.valueOf)
       BloomDedup.collectBlocks(BloomDedup.mergeIndex(
@@ -289,7 +298,9 @@ object Bench {
     import java.nio.file.{Files, Paths}
     val numBuckets = 16 // the engine default — geometry derives the rest
     val fpFile = Paths.get(dir, "engine_params.json")
-    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"engine-v1"}"""
+    // v2: fetchlog seed history carries the engine's parquet Bloom filter
+    // write options (matches what a real crawl's commits now write)
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"engine-v2"}"""
     if (!(Files.exists(fpFile) && Files.readString(fpFile) == fp)) {
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {
@@ -300,7 +311,8 @@ object Bench {
       }
       rm(Paths.get(dir)) // engine roots must start clean (manifest ids)
       Files.createDirectories(Paths.get(dir))
-      val log = new SnapshotTable(spark, s"$dir/fetchlog")
+      val log = new SnapshotTable(spark, s"$dir/fetchlog",
+        SnapshotTable.bloomFilterFor("url_hash"))
       val rows = spark.range(nSeen)
         .select(xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"))
         .withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
@@ -335,7 +347,7 @@ object Bench {
     * overhead (the honest end-to-end number; the per-stage benches above
     * isolate the hot paths). */
   def benchCrawlE2E(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
-                    budget: Int): (Double, Long) = {
+                    budget: Int, adaptivePerRun: Boolean = false): (Double, Long) = {
     import graft.crawl.{CrawlConfig, CrawlEngine}
     import graft.fetch.SyntheticFetcher
     import graft.frontier.Politeness
@@ -343,7 +355,8 @@ object Bench {
     val web = new graft.web.SyntheticWeb(webCfg)
     val root = java.nio.file.Files.createTempDirectory("bench-crawl").toString
     val engine = new CrawlEngine(spark,
-      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = 4)),
+      CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = 4),
+        adaptivePerRun = adaptivePerRun),
       new SyntheticFetcher(webCfg), web.robots)
     engine.seed(web.seeds)
     val (stats, secs) = timed(engine.crawlAll())
@@ -425,17 +438,23 @@ object Bench {
     val fetchRate = Seq.fill(3)(benchFetchParse(spark, 512L * 1024)).max
     val dedupRate = benchDedup(spark, 4L * 1024 * 1024, 2L * 1024 * 1024)
     val imageRate = benchImages(spark, 20000)
-    // best-of-3: the sandbox host is time-shared (BENCH.md protocol; e2e
-    // spread on identical code measured 50-130 urls/s) and a fresh crawl
-    // pays one-time codegen/broadcast warm-up
-    val (crawlRate, crawlN) = Seq.fill(3)(
-      benchCrawlE2E(spark, nHosts = 16, pagesPerHost = 100, budget = 200)).maxBy(_._1)
+    // best-of-3 with the per-trial SPREAD recorded alongside (VERDICT r04
+    // #4: the driver-recorded single number and the campaign tables are
+    // same-code different-session readings on a time-shared host — e2e
+    // spread on identical code measured 45-132 urls/s — so the artifact
+    // itself must carry the envelope: min/median/best, not one draw)
+    val crawlTrials = Seq.fill(3)(
+      benchCrawlE2E(spark, nHosts = 16, pagesPerHost = 100, budget = 200))
+    val crawlRates = crawlTrials.map(_._1).sorted
+    val (crawlRate, crawlN) = crawlTrials.maxBy(_._1)
 
     val entries = queryTimes ++ Seq(
       "crawl_fetch_parse_urls_per_sec" -> fetchRate,
       "frontier_dedup_urls_per_sec" -> dedupRate,
       "image_payload_per_sec" -> imageRate,
       "crawl_e2e_urls_per_sec" -> crawlRate,
+      "crawl_e2e_urls_per_sec_median" -> crawlRates(crawlRates.size / 2),
+      "crawl_e2e_urls_per_sec_min" -> crawlRates.head,
       "crawl_e2e_n_urls" -> crawlN.toDouble)
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
