@@ -347,7 +347,8 @@ object Bench {
     * overhead (the honest end-to-end number; the per-stage benches above
     * isolate the hot paths). */
   def benchCrawlE2E(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
-                    budget: Int, adaptivePerRun: Boolean = false): (Double, Long) = {
+                    budget: Int, adaptivePerRun: Boolean = false,
+                    windowsPerRun: Int = 1): (Double, Long) = {
     import graft.crawl.{CrawlConfig, CrawlEngine}
     import graft.fetch.SyntheticFetcher
     import graft.frontier.Politeness
@@ -356,7 +357,7 @@ object Bench {
     val root = java.nio.file.Files.createTempDirectory("bench-crawl").toString
     val engine = new CrawlEngine(spark,
       CrawlConfig(root, Politeness(perHostBudget = budget, hostSalts = 4),
-        adaptivePerRun = adaptivePerRun),
+        adaptivePerRun = adaptivePerRun, windowsPerRun = windowsPerRun),
       new SyntheticFetcher(webCfg), web.robots)
     engine.seed(web.seeds)
     val (stats, secs) = timed(engine.crawlAll())

@@ -849,19 +849,29 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         val newLinks = dedupedCand.persist(StorageLevel.MEMORY_AND_DISK)
         persisted += newLinks
         // roll the live pending view forward to the next window (the
-        // in-memory twin of pendingMaterialized's between-run algebra)
+        // in-memory twin of pendingMaterialized's between-run algebra).
+        // Lineage MUST be truncated between waves: persist caches
+        // execution, not the analyzed plan, and this union/anti-join view
+        // references the previous wave's view — the plan doubles per wave
+        // (measured: at w2 Catalyst planning ate the whole batching win,
+        // at w4 CollapseCodegenStages OOM'd the driver). An eager
+        // localCheckpoint over the already-cached inputs pins the rows
+        // and hands the next wave a flat LogicalRDD. The view is dead
+        // after the final wave, so only intermediate waves pay the
+        // (small, cached-input) materialization job.
         val attemptedW = results.select(col("url_hash"), col("attempt"))
-        val pendNext = pendW
-          .unionByName(newLinks.withColumn("attempt", lit(1))
-            .select(PendingCols.map(col): _*))
-          .unionByName(retryRows(results))
-          .join(attemptedW, Seq("url_hash", "attempt"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        persisted += pendNext
-        pendW = pendNext
-        attemptedCum = Some(attemptedCum
-          .map(_.unionByName(attemptedW.select("url_hash")))
-          .getOrElse(attemptedW.select("url_hash")))
+        val lastWave = wave + 1 >= math.max(1, cfg.windowsPerRun)
+        if (!lastWave) {
+          pendW = pendW
+            .unionByName(newLinks.withColumn("attempt", lit(1))
+              .select(PendingCols.map(col): _*))
+            .unionByName(retryRows(results))
+            .join(attemptedW, Seq("url_hash", "attempt"), "left_anti")
+            .localCheckpoint() // eager; freed by the ContextCleaner on GC
+          attemptedCum = Some(attemptedCum
+            .map(_.unionByName(attemptedW.select("url_hash")))
+            .getOrElse(attemptedW.select("url_hash")))
+        }
         // ---- adaptive controller (R2): per WINDOW, like the reference's
         // limiter — the next window's delay plan sees this window's rates
         val successRate = nOkW.toDouble / nSched

@@ -32,25 +32,27 @@ object E2EAB {
   def main(args: Array[String]): Unit = {
     val reps = args.lift(0).map(_.toInt).getOrElse(3)
     val cores = args.lift(1).getOrElse("32")
-    val configs = Seq( // (label, adaptivePerRun, concurrentPrepare)
-      ("aqe+seq", true, false),
-      ("aqe+conc", true, true),
-      ("noaqe+seq", false, false),
-      ("noaqe+conc", false, true))
+    val configs = Seq( // (label, adaptivePerRun, concurrentPrepare, windowsPerRun)
+      ("aqe+seq", true, false, 1),
+      ("aqe+conc", true, true, 1),
+      ("noaqe+seq", false, false, 1),
+      ("noaqe+conc", false, true, 1),
+      ("noaqe+conc+w2", false, true, 2),
+      ("noaqe+conc+w4", false, true, 4))
     val results = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (rep <- 1 to reps; (label, aqe, conc) <- configs) {
+    for (rep <- 1 to reps; (label, aqe, conc, waves) <- configs) {
       if (conc) sys.props.remove("graft.commit.sequentialPrepare")
       else sys.props("graft.commit.sequentialPrepare") = "true"
       val spark = session(cores, aqe = true) // session default; per-run mode below
       try {
         val (rate, n) = graft.Bench.benchCrawlE2E(spark, 16, 100, 200,
-          adaptivePerRun = aqe)
+          adaptivePerRun = aqe, windowsPerRun = waves)
         println(f"E2E_TRIAL rep=$rep config=$label rate=$rate%.1f n=$n")
         results(label) = results(label) :+ rate
       } finally { spark.stop(); System.gc() }
     }
-    configs.foreach { case (label, _, _) =>
+    configs.foreach { case (label, _, _, _) =>
       val rs = results(label).sorted
       if (rs.nonEmpty) {
         val med = rs(rs.size / 2)
