@@ -77,8 +77,16 @@ final case class CrawlConfig(
       * wave at attempt+1; the adaptive controller updates between
       * waves). 1 = the legacy one-window run, byte-identical behavior.
       * A crash replays the whole batch — the same at-least-once contract
-      * as a 1-window run, scaled by K. */
-    windowsPerRun: Int = 1) {
+      * as a 1-window run, scaled by K.
+      *
+      * Default 2: the interleaved toy-config A/B (16×100, budget 200,
+      * one JVM, rep-wise round-robin) read medians 121 (seq prepare),
+      * 181 (w=1), 215 (w=2), 200 (w=4) urls/s — w=2 halves the commit
+      * machinery while keeping batch-replay windows short; w=4's extra
+      * waves cost more in per-wave checkpoint + wider commit unions
+      * than the third and fourth saved commits return. Set 1 to restore
+      * reference-equivalent one-window replay granularity. */
+    windowsPerRun: Int = 2) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   // a broadcast map/slice that cannot fit the executor block cache

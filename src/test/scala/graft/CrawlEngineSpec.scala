@@ -6,7 +6,7 @@ import graft.frontier.Politeness
 import graft.images.ImageKit
 import graft.oracle.OracleCrawler
 import graft.web.{SyntheticWeb, WebConfig}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, xxhash64}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -387,10 +387,15 @@ class CrawlEngineSpec extends AnyFunSuite {
     o.seed(wideWeb.seeds)
     o.crawlAll()
     val root = Files.createTempDirectory("crawl-resize").toString
+    // windowsPerRun = 1 pins the per-run resize SCHEDULE the assertions
+    // below are calibrated on: resize fires at the next run's geometry
+    // check, so end-of-crawl capacity covers the history within ONE
+    // window's intake. Batched windows widen that (documented) lag to
+    // one batch — the catch-up contract under batching has its own test.
     val e = new CrawlEngine(TestSpark.spark,
       CrawlConfig(root, Politeness(perHostBudget = wideBudget), maxRetries,
         useBloom = true, bloomBuckets = buckets, scanProbeMinSeen = 0L,
-        bloomCapacityFloor = floor),
+        bloomCapacityFloor = floor, windowsPerRun = 1),
       new SyntheticFetcher(wideCfg), wideWeb.robots)
     e.seed(wideWeb.seeds)
     e.crawlAll()
@@ -443,6 +448,45 @@ class CrawlEngineSpec extends AnyFunSuite {
       "resume did not read the persisted geometry back")
     e2.crawlAll()
     assert(e2.seenSet() == o.seenSet, "post-resize resume diverged")
+  }
+
+  test("geometry resize under BATCHED windows: lag bounded by one batch, next dedup catches up") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // same wide web as the schedule test, crawled with windowsPerRun=3:
+    // the estimate updates per COMMIT, so end-of-crawl capacity may lag
+    // the history by up to one batch's intake — but never more, and the
+    // next dedup pass's geometry check must resize to cover everything
+    val floor = 64L
+    val buckets = 4
+    val wideCfg = WebConfig(nHosts = 2, pagesPerHost = 700, hotFactor = 1,
+      failPct = 0, imagesPerPage = 1, linksPerPage = 6)
+    val wideWeb = new SyntheticWeb(wideCfg)
+    val wideBudget = 400
+    val root = Files.createTempDirectory("crawl-resize-batched").toString
+    val e = new CrawlEngine(TestSpark.spark,
+      CrawlConfig(root, Politeness(perHostBudget = wideBudget), maxRetries,
+        useBloom = true, bloomBuckets = buckets, scanProbeMinSeen = 0L,
+        bloomCapacityFloor = floor, windowsPerRun = 3),
+      new SyntheticFetcher(wideCfg), wideWeb.robots)
+    e.seed(wideWeb.seeds)
+    e.crawlAll()
+    val attempts = e.fetchlog.read().get.count()
+    assert(attempts > buckets * floor * 2, s"crawl too small ($attempts)")
+    // lag bound: one batch = windowsPerRun × (hosts × budget) schedulable
+    val maxBatch = 3L * 2 * wideBudget
+    assert(e.urlIndexGeometry.totalCapacity + maxBatch >= attempts,
+      s"geometry ${e.urlIndexGeometry} lags $attempts attempts by more than one batch")
+    // catch-up: the next dedup pass re-derives geometry from the
+    // post-crawl estimate and rebuilds — capacity then covers history
+    val probe = spark.range(64)
+      .select(concat(lit("http://fresh.test/"), col("id").cast("string")).as("url"))
+      .withColumn("url_hash", xxhash64(col("url")))
+    val (out, cleanup) = e.dedupFrontier(probe)
+    assert(out.count() == 64, "fresh keys dropped by the catch-up dedup")
+    cleanup()
+    assert(e.urlIndexGeometry.totalCapacity >= attempts,
+      s"post-crawl dedup left geometry ${e.urlIndexGeometry} below $attempts attempts")
   }
 
   test("geometry resize in the SLICED regime: distributed rebuild + delta-fold compaction, state exact") {
