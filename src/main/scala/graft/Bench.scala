@@ -177,9 +177,11 @@ object Bench {
     val seenDir = s"$dir/seen"
     val idxDir = s"$dir/idx"
     val fpFile = Paths.get(dir, "params.json")
-    // v3: + parquet Bloom filter on url_hash (the engine's fetchlog write
-    // options) — the point-lookup rows measure row-group Bloom skipping
-    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"sorted-v3"}"""
+    // v4: the engine's fetchlog write options grew 128 KB data pages —
+    // the large-IN point probe's history term is distinct-PAGE reads,
+    // which small pages make history-independent (see
+    // SnapshotTable.bloomFilterFor); v3 added the row-group Bloom filter
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"sorted-v4"}"""
     val reusable = Files.exists(fpFile) && Files.readString(fpFile) == fp &&
       Files.exists(Paths.get(seenDir, "_SUCCESS")) &&
       Files.exists(Paths.get(idxDir, "_SUCCESS"))
@@ -298,9 +300,10 @@ object Bench {
     import java.nio.file.{Files, Paths}
     val numBuckets = 16 // the engine default — geometry derives the rest
     val fpFile = Paths.get(dir, "engine_params.json")
-    // v2: fetchlog seed history carries the engine's parquet Bloom filter
-    // write options (matches what a real crawl's commits now write)
-    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"engine-v2"}"""
+    // v3: fetchlog seed history carries the engine's current write
+    // options (parquet Bloom filter + 128 KB pages — matches what a real
+    // crawl's commits write, see SnapshotTable.bloomFilterFor)
+    val fp = s"""{"nSeen":$nSeen,"buckets":$numBuckets,"layout":"engine-v3"}"""
     if (!(Files.exists(fpFile) && Files.readString(fpFile) == fp)) {
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {

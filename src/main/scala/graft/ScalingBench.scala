@@ -473,6 +473,49 @@ object ScalingBench {
          |sessions (durable resume at bench scale). Image = deterministic
          |codec encode + decode + 64-bit phash.
          |
+         |SLICED-REGIME END-TO-END CRAWL (VERDICT r04 #5 — `runMain
+         |graft.tools.SlicedCrawl 32`, r5 code, 2026-08-18): the full
+         |`crawlAll` loop (fetch → parse → payload → index fold →
+         |compaction) on a root pre-seeded with a 1.34×10^8-attempt
+         |fetchlog history under a 32 MB broadcast budget, so the
+         |engine's own estimate (~160 MB of index) routes it into the
+         |SLICED regime organically — the same estimated-bytes flip as
+         |10^9 keys under the default budget. Measured: distributed
+         |index rebuild 55.3 s untimed (geometry 32×4.2M, the resume
+         |path), then 5 micro-runs / 3,104 fetches in 302 s with
+         |`slicedActive=true` throughout. The bloomidx manifest trail
+         |shows the sliced maintenance machinery live at bench scale:
+         |base v1 (rebuild, 32 buckets, covers=1) → base v2 (rebuild one
+         |geometry step up, 64 buckets, covers=2) → base v3 (delta-FOLD
+         |compaction, covers=4). Invariant: the same web crawled on a
+         |fresh default-config root fetches the identical distinct-URL
+         |set (symmetric diff 0 over 3,026 URLs) — the seeded history is
+         |disjoint, so the sliced machinery changed no scheduling or
+         |dedup decision. The absolute rate (10 urls/s) is the
+         |REBUILD-AMORTIZATION regime, priced honestly: two O(history)
+         |geometry-doubling rebuilds + one fold landed inside a 5-run
+         |toy crawl, a cost a real crawl pays O(log seen) times over its
+         |WHOLE life (the steady-state per-run dedup cost at this
+         |history scale is the `dedupeng9` row, not this one).
+         |
+         |MICRO-RUN WINDOW BATCHING (VERDICT r04 #1 — `runMain
+         |graft.tools.E2EAB 3 32`, one JVM, rep-wise round-robin so every
+         |config sees the same co-tenant minutes): toy config (16×100,
+         |budget 200) medians over 3 reps — 121 urls/s with sequential
+         |commit prepares, 146 with AQE per-run, 181 with concurrent
+         |prepares at one window/run, 215 at TWO windows/run (reps
+         |197/215/227), 200 at four. The shipped default is now
+         |windowsPerRun=2 + concurrent prepares + per-run AQE off: one
+         |engine run executes two politeness windows before paying the
+         |commit machinery, politeness semantics stay per-window
+         |(scheduler, retries, adaptive delay all per wave — pinned ≡
+         |oracle by CrawlEngineSpec), and the in-memory pending view is
+         |lineage-truncated between waves (an eager localCheckpoint —
+         |without it the chained union/anti-join plan doubled per wave
+         |and Catalyst planning ate the win). Net vs the r4 recorded
+         |line: 107.9 → ~200 urls/s median at the same toy config, the
+         |fixed-cost floor halved by construction (half the commits).
+         |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
          |hostSalts 4), interleaved best-of-3 per level, r4 code (derived

@@ -58,7 +58,11 @@ object SlicedCrawl {
   private def ensureSeededRoot(spark: SparkSession, root: String, nSeen: Long,
                                buckets: Int): Unit = {
     val fpFile = Paths.get(root, "seed_params.json")
-    val fp = s"""{"nSeen":$nSeen,"buckets":$buckets,"layout":"crawl-seed-v1"}"""
+    // v2: seed carries the engine's current write options (Bloom filter +
+    // 128 KB pages); a bumped layout also resets the crawled root, so a
+    // re-run crawls fresh instead of draining on the previous session's
+    // completed web
+    val fp = s"""{"nSeen":$nSeen,"buckets":$buckets,"layout":"crawl-seed-v2"}"""
     if (Files.exists(fpFile) && Files.readString(fpFile) == fp) return
     def rm(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p)) {
