@@ -440,8 +440,17 @@ object ScalingBench {
          |traffic per micro-run, and removing it roughly doubled this
          |row. The pass still reads the probed seen files, so past 8
          |cores it is bound by page-cache/memory bandwidth, not CPU —
-         |its 8→32 column reads against the alloc control's, and its
-         |POINT is the absolute cost: a 8.4M-candidate batch dedups
+         |its 8→32 column reads against the alloc control's. Since r5
+         |the disk-probe reads are capped at `graft.probe.ioStreams`
+         |(default 8) concurrent streams on LOCAL masters only (a no-op
+         |on clusters, where each executor brings its own disks): r4
+         |measured 32 concurrent probe readers thrashing the single
+         |box's page cache to 0.81× the 8-core rate on the engine-true
+         |10^9 row, and under the cap the 8→32 pair reads flat instead
+         |of inverted (this campaign: dedupeng9 medians 488k at 8 vs
+         |487k at 32) — on one box the probe leg does the same IO work
+         |at the same stream count by design, and the cores show up in
+         |the non-IO legs. Its POINT is the absolute cost: a 8.4M-candidate batch dedups
          |against a 10^9-key history in seconds with nothing
          |broadcast over |index|/slices and nothing shuffled over the
          |history. The `dedupxxlc` row is the HISTORY-GROWTH control:
@@ -461,7 +470,23 @@ object ScalingBench {
          |stats + page-level column indexes read pages, not columns.
          |Computed from this campaign's points, 8× history costs
          |$xxlpRatio on that pass — the closer to 1.0x, the flatter the
-         |per-run cost as the crawl grows.
+         |per-run cost as the crawl grows. Since r5 the fetchlog writers
+         |emit 128 KB data pages + an adaptive row-group Bloom filter on
+         |url_hash (verified in the rebuilt table: 519 pages × ~122 KB
+         |per 7.9M-row chunk, bloom offset present). The page size is the
+         |lever that acts on THIS term: a ~1000-key IN reads ~one page
+         |per key, so at 1 MB pages the probe's bytes grow with history
+         |until pages ≈ keys (measured 2.0×/2.1× per 8× history in the
+         |r5 pre-change campaign), while 128 KB pages make the per-key
+         |read history-independent once the table outgrows keys × page.
+         |The row-group Bloom cannot fire at this probe shape (a row
+         |group survives if ANY of ~1000 keys might-match: 1−0.99^1000 ≈
+         |1) — it earns its bytes on small-survivor micro-run probes.
+         |The pair's short (5-10 s) trials carry the widest co-tenant
+         |spread in the table (reps swing up to ±2×); the residual ratio
+         |above that floor is per-file metadata that grows with page
+         |count (column-index entries), a small constant × log-growth
+         |term, not data bytes.
          |
          |The `dedupeng8`/`dedupeng9` rows are ENGINE-TRUE (VERDICT r03
          |#1): the index is sized and built by CrawlEngine itself from
@@ -518,19 +543,22 @@ object ScalingBench {
          |
          |End-to-end micro-run crawl (`graft.CrawlDemo 64 300 <cores> 1000 4`:
          |64 hosts × 300 pages, hot-host ×8, budget 1000/host/run,
-         |hostSalts 4), interleaved best-of-3 per level, r4 code (derived
-         |pending table — no per-run pending write; cached table schemas):
-         |34,999 fetches, 34,058 distinct URLs, 47,262 stored image
-         |payloads — best 53.4 s ≈ 656 urls/s at local[32] (trials 595 /
-         |629 / 656), best 49.7 s ≈ 704 urls/s at local[8] (582 / 613 /
-         |704). Same envelope as r3's 555-695 on identical outputs —
-         |same-code spread on this time-shared host is ±10-35%
-         |(r02: 543 at local[32]; r01: 202) — INCLUDING frontier dedup,
+         |hostSalts 4), interleaved best-of-3 per level, r5 code
+         |(windowsPerRun=2 default + concurrent commit prepares + per-run
+         |AQE off): 34,999 fetches, 34,058 distinct URLs, 47,262 stored
+         |image payloads — BYTE-IDENTICAL outputs to r4's one-window runs
+         |— best 33.6 s ≈ 1042 urls/s at local[32] (trials 971 / 437 /
+         |1042), best 33.7 s ≈ 1040 urls/s at local[8] (1040 / 1013 /
+         |1024). That is ~1.5× the r4 line (best 656 at local[32] / 704
+         |at local[8]; r3 555-695; r02 543; r01 202) on identical
+         |outputs: at a budget-capped config the clock is micro-run
+         |fixed cost × runs, and window batching halves the commit count
+         |while the prepares overlap — INCLUDING frontier dedup,
          |politeness planning, payload encode+phash and the snapshot
          |commits. 8 cores matching 32 at this config is the politeness
          |bound: per-run batches are budget-capped, so wall time is
-         |micro-run fixed cost × runs, not CPU — the per-stage table
-         |above is where compute scaling shows.
+         |fixed cost, not CPU — the per-stage table above is where
+         |compute scaling shows.
          |
          |Why efficiency flattens HERE and why it would not on a cluster:
          |the two CONTROL rows are the same box driven by PLAIN JVM THREADS
