@@ -1198,13 +1198,15 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
         covers = Some(runId))
       // bounded commit-dir growth (the Iceberg rewrite-data-files
       // analogue): bin-pack the oldest micro-run dirs into one merge
-      // commit, re-clustered by bucket, and — once a FULL batch of
-      // level-1 merges has accumulated — pack those into one level-2
-      // merge. Each row is rewritten at most twice over the crawl's
-      // lifetime and the live dir count stays O(runs/K² + 2K) —
-      // without this a 10^5-run crawl reads a 10^5-path relation
-      // every run. Content is unchanged, so covers markers stay valid
-      // (they compare against latestDataSnapshot).
+      // commit, re-clustered by bucket; once a FULL batch of level-1
+      // merges has accumulated, pack those into one level-2 merge, and
+      // full level-2 batches into one level-3 merge. Each row is
+      // rewritten at most three times over the crawl's lifetime and the
+      // live dir count stays O(runs/K³ + 3K) — at K=16 a 10^8-run crawl
+      // holds ~25k live dirs where two levels leave ~400k — without any
+      // packing a 10^5-run crawl reads a 10^5-path relation every run.
+      // Content is unchanged, so covers markers stay valid (they compare
+      // against latestDataSnapshot).
       val mergeMetrics = Map("binpack" -> 1.0, "run" -> runId.toDouble)
       val packK = cfg.compactEvery * 2
       // pre-upgrade roots: the oldest dirs a pack rewrites may predate
@@ -1213,12 +1215,14 @@ class CrawlEngine(spark: SparkSession, cfg: CrawlConfig, fetcher: Fetcher,
       // dirs re-cluster as usual)
       def reclustered(hash: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
         if (df.columns.contains("bucket")) bucketSalted(df, hash, cfg.bloomBuckets) else df
-      fetchlog.mergeAppends(packK, reclustered(col("url_hash")), mergeMetrics)
-      images.mergeAppends(packK, reclustered(xxhash64(col("image_id"))), mergeMetrics)
-      frontier.mergeAppends(packK, _.coalesce(1), mergeMetrics)
-      fetchlog.mergeMerges(packK, reclustered(col("url_hash")), mergeMetrics)
-      images.mergeMerges(packK, reclustered(xxhash64(col("image_id"))), mergeMetrics)
-      frontier.mergeMerges(packK, _.coalesce(1), mergeMetrics)
+      for ((table, cluster) <- Seq[(graft.table.SnapshotTable, DataFrame => DataFrame)](
+             (fetchlog, reclustered(col("url_hash"))),
+             (images, reclustered(xxhash64(col("image_id")))),
+             (frontier, _.coalesce(1)))) {
+        table.mergeAppends(packK, cluster, mergeMetrics)
+        table.mergeMerges(packK, cluster, mergeMetrics)
+        table.mergeMerges(packK, cluster, mergeMetrics, level = 3)
+      }
     }
 
     // (the R2 adaptive controller already ran per window, inside the

@@ -257,30 +257,35 @@ class SnapshotTable(spark: => SparkSession, root: String,
     if (kindOf(n) != "merge") 0
     else MergeLevelRe.findFirstMatchIn(manifestText(n)).map(_.group(1).toInt).getOrElse(1)
 
-  /** SECOND-level bin-pack: rewrite the oldest `maxDirs` un-packed
-    * LEVEL-1 merge dirs into ONE level-2 merge commit. Fires only on a
-    * FULL batch (exactly `maxDirs` candidates qualify) and level-2
-    * merges are terminal — never re-merged — so every data row is
-    * rewritten at most TWICE over the table's lifetime and the live dir
-    * count after M appends packed K-at-a-time drops from O(M/K + K) to
-    * O(M/K² + 2K). `mergedAway` is already transitive (a level-2
-    * manifest supersedes its level-1 dirs, whose own manifests supersede
-    * the original appends), so reads/time-travel/readBetween need no
-    * changes. Returns the merge snapshot id, or None below a full batch. */
+  /** HIGHER-level bin-pack: rewrite the oldest `maxDirs` un-packed
+    * level-(`level`−1) merge dirs into ONE level-`level` merge commit.
+    * Fires only on a FULL batch (exactly `maxDirs` candidates qualify)
+    * and a level-L merge is only ever consumed by a level-(L+1) pack —
+    * so with a top level of L every data row is rewritten at most L
+    * times over the table's lifetime, and the live dir count after M
+    * appends packed K-at-a-time drops from O(M/K + K) to
+    * O(M/K^L + L·K) (at 10^8 micro-runs and K=16, L=3 holds the live
+    * dir count in the thousands where L=2 leaves ~24k). `mergedAway` is
+    * already transitive (a level-L manifest supersedes its level-(L−1)
+    * dirs, whose own manifests supersede theirs, down to the original
+    * appends), so reads/time-travel/readBetween need no changes.
+    * Returns the merge snapshot id, or None below a full batch. */
   def mergeMerges(maxDirs: Int, transform: DataFrame => DataFrame = identity,
-                  metrics: Map[String, Double] = Map.empty): Option[Long] = {
+                  metrics: Map[String, Double] = Map.empty,
+                  level: Int = 2): Option[Long] = {
     require(maxDirs >= 2, s"maxDirs $maxDirs must be >= 2")
+    require(level >= 2, s"level $level must be >= 2")
     val anchor = latestBase.getOrElse(Long.MinValue)
     val packed = mergedAway(latestSnapshot.getOrElse(0L))
     val candidates = snapshots
-      .filter(id => id >= anchor && !packed.contains(id) && mergeLevelOf(id) == 1)
+      .filter(id => id >= anchor && !packed.contains(id) && mergeLevelOf(id) == level - 1)
       .filter(id => Files.isDirectory(dataDir(id)))
       .take(maxDirs)
     if (candidates.size < maxDirs) return None
     val df = transform(readDirs(candidates.map(dataDir(_).toString),
       latestSnapshot.getOrElse(-1L)))
     Some(commitKind(df, metrics, None, 0, "merge", None, None,
-      merges = Some(candidates), mergeLevel = 2).id)
+      merges = Some(candidates), mergeLevel = level).id)
   }
 
   /** Append with a `covers` staleness marker. */

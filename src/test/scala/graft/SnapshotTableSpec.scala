@@ -124,9 +124,10 @@ class SnapshotTableSpec extends AnyFunSuite {
             Map.empty)
         case 2 => // compaction
           t.commitBase(t.read().get, Map.empty)
-        case 3 => // bin-pack merges (both levels): must NEVER change content
+        case 3 => // bin-pack merges (all levels): must NEVER change content
           t.mergeAppends(2 + rnd.nextInt(3))
           t.mergeMerges(2) // fires only on a full level-1 batch
+          t.mergeMerges(2, level = 3) // …and only on a full level-2 batch
       }
       val got = t.read().get.select("url_hash", "attempt", "v")
         .as[(Long, Int, String)].collect().toSet
@@ -199,6 +200,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.commit(Seq((9L, "v9")).toDF("url_hash", "v"), Map.empty)
     assert(t.read().get.count() == 9)
     assert(t.mergeAppends(10).isEmpty, "a single new append must not pack alone")
+  }
+
+  test("third-level bin-pack: full level-2 batches pack into level-3; rewrite bound and content hold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmpDir())
+    for (i <- 1 to 8)
+      t.commit(Seq((i.toLong, s"v$i")).toDF("url_hash", "v"), Map.empty)
+    val before = t.read().get.as[(Long, String)].collect().toSet
+    val l1 = (1 to 4).flatMap(_ => t.mergeAppends(2, _.coalesce(1)))
+    assert(l1.size == 4)
+    val l2 = (1 to 2).flatMap(_ => t.mergeMerges(2, _.coalesce(1)))
+    assert(l2.size == 2 && l2.forall(t.mergeLevelOf(_) == 2))
+    // below a full level-2 batch nothing fires; at the batch size it packs
+    assert(t.mergeMerges(3, level = 3).isEmpty, "level-3 fired below a full batch")
+    val l3 = t.mergeMerges(2, _.coalesce(1), Map("binpack" -> 3.0), level = 3)
+    assert(l3.nonEmpty && t.mergeLevelOf(l3.get) == 3)
+    assert(t.read().get.as[(Long, String)].collect().toSet == before,
+      "level-3 merge changed table content")
+    assert(t.read().get.inputFiles.length == 1,
+      "level-3 pack did not collapse the read's file set")
+    // terminal at the configured top level: nothing repacks at any level
+    assert(t.mergeAppends(10).isEmpty && t.mergeMerges(2).isEmpty &&
+      t.mergeMerges(2, level = 3).isEmpty, "re-packed superseded or terminal dirs")
+    // time-travel / incremental / cardinality contracts hold through 3 levels
+    assert(t.readAt(8).get.count() == 8)
+    assert(t.readAt(l2.last).get.as[(Long, String)].collect().toSet == before)
+    assert(t.readBetween(0, t.latestSnapshot.get).get.count() == 8)
+    assert(t.totalRows == 8)
+    // rewrite bound: every original row's bytes were rewritten exactly
+    // 3 times (once per level) — count data dirs ever created
+    val merges = (l1 ++ l2 ++ l3)
+    assert(merges.size == 7, s"expected 4+2+1 merge commits, got ${merges.size}")
   }
 
   test("partitioned layout: round-trip, partition pruning, lineage, scheme stickiness") {
