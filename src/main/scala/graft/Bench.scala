@@ -262,12 +262,16 @@ object Bench {
     * the residual history term: the closer to 1× for 8× history, the
     * better. */
   def benchDedupPointLookup(spark: SparkSession, nCand: Long, nSeen: Long, dir: String,
-                            numBuckets: Int = 64, numSlices: Int = 8): Double = {
+                            numBuckets: Int = 64, numSlices: Int = 8,
+                            salt: Long = 0L): Double = {
     import graft.frontier.BloomDedup
     val (seen, idx) = ensureSeenDisk(spark, nSeen, dir, numBuckets)
     // uniform draw over 128×|seen| → ~0.8% true dups; with ~1% fpp the
-    // survivors stay well under pointLookupMaxRows per slice
-    val keyIdx = pmod(xxhash64(col("id")), lit(nSeen * 128))
+    // survivors stay well under pointLookupMaxRows per slice. `salt`
+    // shifts the draw so chained passes / repeated reps probe DISJOINT
+    // key sets: an unsalted re-run reads exactly the pages the previous
+    // pass just pulled into the OS page cache and measures nothing
+    val keyIdx = pmod(xxhash64(col("id") + lit(salt * nCand)), lit(nSeen * 128))
     val cand = spark.range(nCand)
       .select(xxhash64(concat(lit("u"), keyIdx.cast("string"))).as("url_hash"),
         concat(lit("u"), keyIdx.cast("string")).as("url"))

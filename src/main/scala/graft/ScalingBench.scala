@@ -145,15 +145,26 @@ object ScalingBench {
     * trial measures the engine's standing-index steady state. */
   def runPointXxl(): Unit = {
     val levels = Seq(8, 32)
+    // (stage, candN, seenN, dir, pointLookup, timedPasses) — the
+    // point-lookup trials are only 5-10 s each and carried the table's
+    // widest co-tenant spread (±2× between reps, NOTES r5 #1); each
+    // timed trial now chains `timedPasses` consecutive passes and
+    // reports total-candidates / total-wall (= harmonic mean of the
+    // per-pass rates), trading rep count for trial length WITHOUT
+    // touching the per-slice point-lookup cap a 4× larger batch would
+    // overflow (survivors must stay ≤ pointLookupMaxRows × slices).
+    // Every pass (and every rep, and the warmup) carries a DISTINCT key
+    // salt: the OS page cache persists across sessions on this box, so
+    // unsalted repeats would re-read just-cached pages and measure RAM
     val sizes = Seq(
-      ("dedupxxl", XxlCandN, XxlSeenN, XxlDir, false),
-      ("dedupxxlc", XxlCandN, XxlSeenN / 8, s"$XxlDir/c", false),
-      ("dedupxxlp", XxlpCandN, XxlSeenN, XxlDir, true),
-      ("dedupxxlpc", XxlpCandN, XxlSeenN / 8, s"$XxlDir/c", true))
+      ("dedupxxl", XxlCandN, XxlSeenN, XxlDir, false, 1),
+      ("dedupxxlc", XxlCandN, XxlSeenN / 8, s"$XxlDir/c", false, 1),
+      ("dedupxxlp", XxlpCandN, XxlSeenN, XxlDir, true, 4),
+      ("dedupxxlpc", XxlpCandN, XxlSeenN / 8, s"$XxlDir/c", true, 4))
     Files.createDirectories(Paths.get("target"))
     val reps = scala.collection.mutable.Map(
       (for (s <- sizes; l <- levels) yield (s._1, l) -> Vector.empty[Double]): _*)
-    for (rep <- 1 to 3; level <- levels) {
+    for (rep <- 1 to 4; level <- levels) {
       val spark = Bench.session(level.toString)
       try {
         Bench.benchDedupSlicedDisk(spark, 100000, 50000, s"$XxlDir/warm") // warm codegen
@@ -162,13 +173,27 @@ object ScalingBench {
         // don't carry that plan shape's one-time codegen either
         Bench.benchDedupSlicedDisk(spark, 65536, XxlSeenN, XxlDir)
         Bench.benchDedupSlicedDisk(spark, 65536, XxlSeenN / 8, s"$XxlDir/c")
-        Bench.benchDedupPointLookup(spark, 16384, XxlSeenN, XxlDir)
-        Bench.benchDedupPointLookup(spark, 16384, XxlSeenN / 8, s"$XxlDir/c")
-        sizes.foreach { case (stage, candN, seenN, dir, pointLookup) =>
-          val r =
-            if (pointLookup) Bench.benchDedupPointLookup(spark, candN, seenN, dir)
+        Bench.benchDedupPointLookup(spark, 16384, XxlSeenN, XxlDir,
+          salt = 1000L + rep)
+        Bench.benchDedupPointLookup(spark, 16384, XxlSeenN / 8, s"$XxlDir/c",
+          salt = 2000L + rep)
+        // full/control dirs ALTERNATE order across reps (NOTES r5 #2):
+        // the control dir (1/8 the bytes) is far more page-cacheable, so
+        // a fixed full-then-control order systematically hands the
+        // control leg a warmer cache; alternating cancels the order term
+        // in the median instead of baking it into the ratio
+        val ordered = if (rep % 2 == 1) sizes
+          else Seq(sizes(1), sizes(0), sizes(3), sizes(2))
+        ordered.foreach { case (stage, candN, seenN, dir, pointLookup, passes) =>
+          val rs = (1 to passes).map { pass =>
+            // unique per (stage, level, rep, pass) → disjoint probe keys
+            val salt = ((rep * 64L + level) * 8 + (if (seenN == XxlSeenN) 0 else 4)) * 8 + pass
+            if (pointLookup)
+              Bench.benchDedupPointLookup(spark, candN, seenN, dir, salt = salt)
             else Bench.benchDedupSlicedDisk(spark, candN, seenN, dir)
-          println(f"SCALING_TRIAL stage=$stage cores=$level rep=$rep rate=$r%.1f")
+          }
+          val r = passes / rs.map(1.0 / _).sum // total cand / total wall
+          println(f"SCALING_TRIAL stage=$stage cores=$level rep=$rep rate=$r%.1f passes=$passes")
           reps((stage, level)) :+= r
         }
       } finally { spark.stop(); System.gc() }
@@ -238,6 +263,57 @@ object ScalingBench {
     }
     ts.foreach(_.join())
     total / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Raw-IO control (NO Spark): T plain threads stream the dedupxxl
+    * campaign's own seen-table parquet bytes (round-robin over the
+    * files, ~2 GB per trial) through 1 MB reads. This is the ceiling
+    * for ANY plan's disk-probe leg on this box — if this row does not
+    * scale past 8 threads, no scan-probe plan can (VERDICT r04 #2's
+    * alternative done-bar: "a pinned raw-IO control showing the box
+    * saturates"). Requires the dedupxxl stage's table on disk. */
+  private def ioTrial(threads: Int): Double = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(Paths.get(XxlDir, "seen")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
+    require(files.nonEmpty, s"run the dedupxxl stage first ($XxlDir/seen missing)")
+    // fixed ~2 GB of work per trial regardless of thread count: threads
+    // split the same file list, so rate_4N/rate_N reads like the table
+    val budget = 2L << 30
+    var picked = Vector.empty[java.nio.file.Path]
+    var acc = 0L
+    for (f <- files if acc < budget) { picked :+= f; acc += Files.size(f) }
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val buf = new Array[Byte](1 << 20)
+        var i = t
+        while (i < picked.size) {
+          val in = Files.newInputStream(picked(i))
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { total.addAndGet(n.toLong); n = in.read(buf) }
+          } finally in.close()
+          i += threads
+        }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    total.get() / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def runControlIo(): Unit = {
+    Files.createDirectories(Paths.get("target"))
+    val reps = scala.collection.mutable.Map(
+      Seq(2, 8, 32).map(_ -> Vector.empty[Double]): _*)
+    for (rep <- 1 to 3; level <- Seq(2, 8, 32)) {
+      val r = ioTrial(level)
+      reps(level) :+= r
+      println(f"SCALING_TRIAL stage=ctlio cores=$level rep=$rep rate=$r%.1f")
+    }
+    Seq(2, 8, 32).foreach(level => writePoint("ctlio", level, reps(level)))
   }
 
   def runControl(): Unit = {
@@ -315,7 +391,8 @@ object ScalingBench {
     // computed headline claim — they measure the box, not the engine
     val controls = Seq(
       "ctlcodec" -> "CONTROL, no Spark: raw threads, image codec+phash",
-      "ctlalloc" -> "CONTROL, no Spark: raw threads, short-lived string alloc+hash")
+      "ctlalloc" -> "CONTROL, no Spark: raw threads, short-lived string alloc+hash",
+      "ctlio" -> "CONTROL, no Spark: raw threads streaming the seen table's parquet bytes (B/s)")
     // rows are spliced into a stripMargin block after a margin '|': the
     // first row needs a single leading pipe (the template provides its
     // margin), later rows need a doubled one that the strip consumes
@@ -365,9 +442,15 @@ object ScalingBench {
          |evidenced by the same job at N and 4N executor **cores**. The
          |headline pair is `local[2]` vs `local[8]`; `local[32]` is reported
          |as a third point. Each (stage, level) trial runs interleaved
-         |A/B/A/B across separate sessions (best of 3 per level) because the
-         |host is time-shared and its deliverable CPU drifts minute to
-         |minute. Rate cells read `median (best, ±spread)` over the reps;
+         |A/B/A/B across separate sessions (best-of-reps per level) because
+         |the host is time-shared and its deliverable CPU drifts minute to
+         |minute; the short point-lookup trials additionally chain 4
+         |consecutive passes per trial (rate = total candidates / total
+         |wall), every pass/rep probes a DISJOINT salted key set (repeat
+         |keys would re-read just-cached pages and measure RAM), and the
+         |full/control dir pairs alternate order across reps so neither
+         |leg systematically inherits the warmer page cache.
+         |Rate cells read `median (best, ±spread)` over the reps;
          |efficiencies use the best rep per level. The IN-MEMORY stages'
          |inputs are generated lazily from `spark.range` (nothing
          |materialized — the 10^10-frontier scale path) and are identical
@@ -482,11 +565,15 @@ object ScalingBench {
          |The row-group Bloom cannot fire at this probe shape (a row
          |group survives if ANY of ~1000 keys might-match: 1−0.99^1000 ≈
          |1) — it earns its bytes on small-survivor micro-run probes.
-         |The pair's short (5-10 s) trials carry the widest co-tenant
-         |spread in the table (reps swing up to ±2×); the residual ratio
-         |above that floor is per-file metadata that grows with page
-         |count (column-index entries), a small constant × log-growth
-         |term, not data bytes.
+         |The pair's single passes are short (5-10 s) and in earlier
+         |campaigns carried the widest co-tenant spread in the table
+         |(reps swung up to ±2×); since this campaign each timed trial
+         |chains 4 consecutive passes (20-40 s of measured work) and the
+         |full/control legs alternate order across reps, so the quoted
+         |ratio no longer rides a single short read's cache luck. The
+         |residual ratio above the noise floor is per-file metadata that
+         |grows with page count (column-index entries), a small constant
+         |× log-growth term, not data bytes.
          |
          |The `dedupeng8`/`dedupeng9` rows are ENGINE-TRUE (VERDICT r03
          |#1): the index is sized and built by CrawlEngine itself from
@@ -565,7 +652,10 @@ object ScalingBench {
          |— no Spark, no shuffle, no task scheduling. The compute-heavy
          |codec control shows what the silicon delivers; the short-lived-
          |string alloc+hash control reproduces the memory/GC profile of
-         |the fetch/dedup stages. Whatever efficiency the controls lose
+         |the fetch/dedup stages, and the raw-IO control streams the
+         |dedupxxl seen table's own parquet bytes through plain
+         |FileInputStreams — the ceiling for ANY plan's disk-probe leg on
+         |this box. Whatever efficiency the controls lose
          |2→8/8→32 is the HOST (single-socket memory bandwidth + co-tenant
          |drift on a time-shared box), not the engine's task structure —
          |read the Spark rows against the control rows, not against 1.0.
@@ -594,8 +684,9 @@ object ScalingBench {
     case "dedupxxl" :: _ => runPointXxl()
     case "dedupeng" :: _ => runPointEng()
     case "control" :: _ => runControl()
+    case "controlio" :: _ => runControlIo()
     case stage :: _ if Set("fetch", "fetchlat", "dedup", "dedupscan", "images")(stage) => runPoint(stage, 0)
     case _ =>
-      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|dedupxxl|dedupeng|images|control> | report")
+      println("usage: ScalingBench <fetch|fetchlat|dedup|dedupscan|dedupxl|dedupxxl|dedupeng|images|control|controlio> | report")
   }
 }
