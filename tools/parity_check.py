@@ -1,11 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: compare Verify's
 Spark parquet dumps against DuckDB running SparkEntry.oracleSql — plus
-independent pure-Python oracles for two queries DuckDB cannot express
-(q25 simhash, q43 winnowing; VERDICT r04 #7): both are deterministic
-functions of their input, so a from-scratch reimplementation in another
-language (including its own XXH64) is the next-best hard signal after a
-SQL oracle.
+independent pure-Python oracles for queries DuckDB cannot express
+(q23 minhash+LSH, q25 simhash, q43 winnowing; VERDICT r04 #7): each is
+a deterministic function of its input, so a from-scratch
+reimplementation in another language (including its own XXH64) is the
+next-best hard signal after a SQL oracle.
 
 Usage: python3 tools/parity_check.py <sfDir> <verifyOutDir>
 (dev tool only — the Scala library has no python dependency)
@@ -132,9 +132,179 @@ def expected_q43(sf_dir) -> pd.DataFrame:
     return pd.DataFrame(rows,
                         columns=["doc_id", "n_fingerprints", "pos", "fingerprint"])
 
+def _xxh64_long(v: int, seed: int) -> int:
+    """Spark XXH64 of one LongType value chained on `seed` (the multi-arg
+    xxhash64(...) folds each argument this way, starting at seed 42)."""
+    return xxh64((v & _M).to_bytes(8, "little"), seed)
+
+def _xxh64_int(v: int, seed: int) -> int:
+    return xxh64((v & 0xFFFFFFFF).to_bytes(4, "little"), seed)
+
+def expected_q23(sf_dir) -> pd.DataFrame:
+    """MinHash(64) one-permutation-hashing + LSH(16 bands x 4 rows)
+    (mirrors TrainingData.q23MinhashLsh): word-3-gram shingles ->
+    xxhash64 per shingle -> per-slot (top-6-bits) signed min with
+    rotation densification -> per-band bucket join -> signature-estimated
+    Jaccard >= 0.5. Deterministic: bucket membership and est_sim depend
+    only on the signatures."""
+    from decimal import Decimal, ROUND_HALF_UP
+    sigs = {}
+    for doc_id, text in _corpus_with_near_dups(sf_dir, drop_words=3):
+        tokens = re.split(r"\s+", text.lower())
+        n = len(tokens)
+        shingles = list(dict.fromkeys(
+            " ".join(tokens[i:i + 3]) for i in range(max(n - 3, 0) + 1)))
+        slot_min = {}
+        gmin = None
+        for s in shingles:
+            h = xxh64s(s)
+            slot = (h & _M) >> 58
+            if slot not in slot_min or h < slot_min[slot]:
+                slot_min[slot] = h
+            if gmin is None or h < gmin:
+                gmin = h
+        sigs[doc_id] = [
+            next((slot_min[(j + k) % 64] for k in range(8)
+                  if (j + k) % 64 in slot_min), gmin)
+            for j in range(64)]
+    buckets = {}
+    for doc_id, sig in sigs.items():
+        for b in range(16):
+            bh = _xxh64_int(b, 42)
+            for v in sig[b * 4:b * 4 + 4]:
+                bh = _xxh64_long(v, bh)
+            buckets.setdefault((b, bh), []).append(doc_id)
+    rows = set()
+    for ids in buckets.values():
+        if not 2 <= len(ids) <= 1024:
+            continue
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                k = sum(1 for p, q in zip(sigs[lo], sigs[hi]) if p == q)
+                if k >= 32:  # est_sim = k/64 >= 0.5, filtered pre-round
+                    est = float(Decimal(repr(k / 64.0))
+                                .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+                    rows.add((lo, hi, est))
+    return pd.DataFrame(sorted(rows), columns=["doc_a", "doc_b", "est_sim"])
+
+def _round6(v: float) -> float:
+    """Spark round(x, 6): BigDecimal(Double.toString(x)).setScale(6,
+    HALF_UP). Python repr() is the same shortest round-trip decimal."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+def _read_embs(sf_dir):
+    """(vec_id, label, emb-as-double) rows; the float32->float64 cast per
+    element mirrors Spark's cast(embedding as array<double>)."""
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return [(int(r.vec_id), r.label, [float(x) for x in r.embedding])
+            for r in df.itertuples()]
+
+def _cos(a, b) -> float:
+    """cosineExpr: sequential left folds in array order (IEEE-exact
+    parity with Spark's aggregate/zip_with)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+def _ivf_assign(embs):
+    """(vec_id -> (cent_id, sim)): nearest of the 8 seeded centroids
+    (vectors 0..7), ties to the lower cent_id (mirrors q27's window)."""
+    cents = [(vid, emb) for vid, _, emb in embs if vid < 8]
+    out = {}
+    for vid, _, emb in embs:
+        best = max(((_cos(emb, cemb), -cid) for cid, cemb in cents))
+        out[vid] = (-best[1], best[0])
+    return out
+
+def expected_q27(sf_dir) -> pd.DataFrame:
+    """IVF assignment + per-cluster top-3 (mirrors TrainingData.q27AnnIvf;
+    the per-cluster ranking uses the ROUNDED cent_sim, as the Spark window
+    does)."""
+    embs = _read_embs(sf_dir)
+    assign = _ivf_assign(embs)
+    clusters = {}
+    for vid, (cid, sim) in assign.items():
+        clusters.setdefault(cid, []).append((vid, _round6(sim)))
+    rows = []
+    for cid, members in clusters.items():
+        members.sort(key=lambda m: (-m[1], m[0]))
+        for rk, (vid, sim) in enumerate(members[:3], start=1):
+            rows.append((cid, vid, sim, rk))
+    return pd.DataFrame(sorted(rows), columns=["cent_id", "vec_id", "cent_sim", "rk"])
+
+def expected_q48(sf_dir, nprobe=2, top_k=10) -> pd.DataFrame:
+    """IVF nprobe probing (mirrors TrainingData.q48IvfNprobe): score only
+    the vectors whose assigned centroid is among the nprobe centroids
+    nearest the query (vector 0)."""
+    embs = _read_embs(sf_dir)
+    assign = _ivf_assign(embs)
+    qvec = next(emb for vid, _, emb in embs if vid == 0)
+    cents = [(vid, emb) for vid, _, emb in embs if vid < 8]
+    probed = set(cid for cid, _ in sorted(
+        ((cid, _cos(cemb, qvec)) for cid, cemb in cents),
+        key=lambda c: (-c[1], c[0]))[:nprobe])
+    scored = [(vid, label, assign[vid][0], _round6(_cos(emb, qvec)))
+              for vid, label, emb in embs
+              if vid != 0 and assign[vid][0] in probed]
+    scored.sort(key=lambda s: (-s[3], s[0]))
+    return pd.DataFrame(scored[:top_k],
+                        columns=["vec_id", "label", "cent_id", "cos_sim"])
+
+def expected_q42(sf_dir) -> pd.DataFrame:
+    """Random-hyperplane LSH near-dup pairs (mirrors
+    TrainingData.q42EmbeddingLsh): 16-bit sign signature from
+    xxhash64-seeded hyperplanes, 4x4-bit band buckets, exact cosine >=
+    0.95 on colliding pairs only."""
+    base = _read_embs(sf_dir)
+    corpus = list(base)
+    for vid, label, emb in base:
+        if vid % 11 == 0:
+            corpus.append((vid + 100000, label,
+                           [x * (1.0 + 0.005 * (float((vid + i) % 5) - 2.0))
+                            for i, x in enumerate(emb)]))
+    embof = {vid: emb for vid, _, emb in corpus}
+    sigs = {}
+    for vid, _, emb in corpus:
+        sig = 0
+        for h in range(16):
+            dot = 0.0
+            for j, x in enumerate(emb):
+                t = _xxh64_int(j, _xxh64_int(h, 42))
+                dot += x * ((t >> 11) / 9007199254740992.0 - 0.5)
+            sig = (sig << 1) | (1 if dot >= 0.0 else 0)
+        sigs[vid] = sig
+    buckets = {}
+    for vid, sig in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (sig >> (b * 4)) & 15), []).append(vid)
+    pairs = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.add((min(a, b), max(a, b)))
+    rows = []
+    for a, b in sorted(pairs):
+        cs = _round6(_cos(embof[a], embof[b]))
+        if cs >= 0.95:
+            rows.append((a, b, cs))
+    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
+
 PY_ORACLES = {
+    "q23_minhash_lsh": expected_q23,
     "q25_simhash": expected_q25,
+    "q27_ann_ivf": expected_q27,
+    "q42_embedding_lsh": expected_q42,
     "q43_winnow_fingerprints": expected_q43,
+    "q48_ivf_nprobe": expected_q48,
 }
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
