@@ -298,6 +298,119 @@ def expected_q42(sf_dir) -> pd.DataFrame:
             rows.append((a, b, cs))
     return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
 
+# --------------------------------------- python oracle (q33, partial)
+
+def _img_clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+def _img_dims_fmt(image_id):
+    """ImageKit.dims/fmt (ImageKit.scala:33-42), unsigned-shift parity."""
+    hu = xxh64(f"dims:{image_id}".encode("utf-8"))
+    w, h = 8 + ((hu >> 8) % 57), 8 + ((hu >> 32) % 57)
+    fmt = "jpeg" if (xxh64(f"fmt:{image_id}".encode("utf-8")) & 3) == 0 else "png"
+    return w, h, fmt
+
+def _img_pixels(image_id, w, h):
+    """ImageKit.pixels (ImageKit.scala:46-74): deterministic gradient +
+    ripple RGB; int division and double ops in the Scala loop's order."""
+    seed = xxh64(f"px:{image_id}".encode("utf-8"))
+    p0, p1, p2 = seed & 0xFF, (seed >> 8) & 0xFF, (seed >> 16) & 0xFF
+    fx, fy = 1 + ((seed >> 24) & 3), 1 + ((seed >> 26) & 3)
+    out = []
+    for y in range(h):
+        for x in range(w):
+            gx = (x * 255) // max(1, w - 1)
+            gy = (y * 255) // max(1, h - 1)
+            ripple = int(16 * math.sin(fx * math.pi * x / w)
+                         * math.cos(fy * math.pi * y / h))
+            luma = _img_clamp(64 + (gx + gy) // 4 + ripple)
+            out.append((_img_clamp(luma + (p0 & 15)) << 16)
+                       | (_img_clamp(luma + (p1 & 15)) << 8)
+                       | _img_clamp(luma + (p2 & 15)))
+    return out
+
+def _img_brightness(px):
+    """q33's rounded mean brightness: sequential double fold in array
+    order, then Scala math.round semantics (floor(x*100 + 0.5) / 100)."""
+    s = 0.0
+    for p in px:
+        s += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0
+    return math.floor(s / len(px) * 100.0 + 0.5) / 100.0
+
+def _img_phash(px, w, h):
+    """ImageKit.phashOfPixels (ImageKit.scala:119-144): 8x8 area-mean
+    average hash, row-major MSB-first, signed 64-bit."""
+    cell, cnt = [0.0] * 64, [0] * 64
+    for y in range(h):
+        cy = min(7, y * 8 // h)
+        for x in range(w):
+            cx = min(7, x * 8 // w)
+            p = px[y * w + x]
+            gray = (0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF)
+                    + 0.114 * (p & 0xFF))
+            cell[cy * 8 + cx] += gray
+            cnt[cy * 8 + cx] += 1
+    mean = 0.0
+    for i in range(64):
+        if cnt[i] > 0:
+            cell[i] /= cnt[i]
+        mean += cell[i]
+    mean /= 64
+    bits = 0
+    for i in range(64):
+        if cell[i] > mean:
+            bits |= 1 << (63 - i)
+    return _signed(bits)
+
+def check_q33(sf_dir, got: pd.DataFrame) -> bool:
+    """PARTIAL independent oracle for q33_multimodal_features
+    (TrainingData.q33MultimodalFeatures): vec_id/image_id/fmt/w/h are
+    exact for every row, brightness and phash are exact for the lossless
+    PNG rows (decode == generator pixels). JPEG rows' brightness/phash
+    and all n_bytes depend on javax.imageio's encoder output, which a
+    cross-language oracle cannot reproduce byte-for-byte — those cells
+    are bounded here (brightness within 1.0, phash hamming <= 8,
+    n_bytes > 0); the byte-exact JPEG spec (PSNR >= 40) lives in the
+    ScalaTest suite."""
+    name = "q33_multimodal_features (py, partial)"
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vids = sorted(int(v) for v in emb.vec_id.unique() if int(v) < 64)
+    got = got.sort_values("vec_id", ignore_index=True)
+    if got.vec_id.tolist() != vids:
+        print(f"FAIL {name}: vec_ids spark={len(got)} oracle={len(vids)}")
+        return False
+    mism = 0
+    for r in got.itertuples():
+        iid = f"img-{int(r.vec_id):08d}"
+        w, h, fmt = _img_dims_fmt(iid)
+        errs = []
+        if (r.image_id, r.fmt, int(r.w), int(r.h)) != (iid, fmt, w, h):
+            errs.append(f"meta spark=({r.image_id},{r.fmt},{r.w},{r.h})"
+                        f" oracle=({iid},{fmt},{w},{h})")
+        if int(r.n_bytes) <= 0:
+            errs.append(f"n_bytes={r.n_bytes}")
+        px = _img_pixels(iid, w, h)
+        bright, ph = _img_brightness(px), _img_phash(px, w, h)
+        if fmt == "png":
+            if float(r.brightness) != bright:
+                errs.append(f"brightness spark={r.brightness!r} oracle={bright!r}")
+            if int(r.phash) != ph:
+                errs.append(f"phash spark={r.phash} oracle={ph}")
+        else:
+            if abs(float(r.brightness) - bright) > 1.0:
+                errs.append(f"jpeg brightness spark={r.brightness!r} gen={bright!r}")
+            if bin((int(r.phash) ^ ph) & _M).count("1") > 8:
+                errs.append(f"jpeg phash hamming spark={r.phash} gen={ph}")
+        for e in errs:
+            if mism < 3:
+                print(f"  {name}[vec_id={r.vec_id}]: {e}")
+            mism += 1
+    if mism:
+        print(f"FAIL {name}: {mism} value mismatches")
+        return False
+    print(f"ok   {name} ({len(got)} rows; png-exact, jpeg-bounded)")
+    return True
+
 PY_ORACLES = {
     "q23_minhash_lsh": expected_q23,
     "q25_simhash": expected_q25,
@@ -305,6 +418,12 @@ PY_ORACLES = {
     "q42_embedding_lsh": expected_q42,
     "q43_winnow_fingerprints": expected_q43,
     "q48_ivf_nprobe": expected_q48,
+}
+
+# Custom comparators (sf_dir, spark_df) -> bool, for queries whose oracle
+# can only be partial cross-language (see check_q33's docstring).
+PY_CHECKERS = {
+    "q33_multimodal_features": check_q33,
 }
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -369,6 +488,15 @@ def main(sf_dir, out_dir):
             continue  # Verify didn't dump it (e.g. partial run)
         try:
             ok = compare(name + " (py)", pd.read_parquet(spark_path), fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name} (py): {e}"); ok = False
+        n_ok, n_bad = n_ok + ok, n_bad + (not ok)
+    for name, fn in sorted(PY_CHECKERS.items()):
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            continue  # Verify didn't dump it (e.g. partial run)
+        try:
+            ok = fn(sf_dir, pd.read_parquet(spark_path))
         except Exception as e:
             print(f"FAIL {name} (py): {e}"); ok = False
         n_ok, n_bad = n_ok + ok, n_bad + (not ok)
