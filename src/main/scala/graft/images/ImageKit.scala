@@ -51,17 +51,29 @@ object ImageKit {
     val fx = 1 + ((seed >>> 24) & 3).toInt
     val fy = 1 + ((seed >>> 26) & 3).toInt
     val out = new Array[Int](w * h)
+    // hoist the trig out of the pixel loop: sin depends only on x, cos
+    // only on y, so w+h evaluations replace w*h — the expressions (and
+    // the (16*sin)*cos association) are kept verbatim, so every pixel is
+    // bit-identical with the per-pixel form
+    val sx = new Array[Double](w)
+    val gxs = new Array[Int](w)
+    var x = 0
+    while (x < w) {
+      sx(x) = 16 * math.sin(fx * math.Pi * x / w)
+      gxs(x) = (x * 255) / math.max(1, w - 1)
+      x += 1
+    }
     var y = 0
     while (y < h) {
-      var x = 0
+      val cy = math.cos(fy * math.Pi * y / h)
+      val gy = (y * 255) / math.max(1, h - 1)
+      x = 0
       while (x < w) {
-        val gx = (x * 255) / math.max(1, w - 1)
-        val gy = (y * 255) / math.max(1, h - 1)
-        val ripple = (16 * math.sin(fx * math.Pi * x / w) * math.cos(fy * math.Pi * y / h)).toInt
+        val ripple = (sx(x) * cy).toInt
         // low-chroma content: one luma pattern + small constant per-channel
         // offsets, so JPEG's 4:2:0 chroma subsampling stays above the
         // 40 dB PSNR gate at q=0.98
-        val luma = clamp(64 + (gx + gy) / 4 + ripple)
+        val luma = clamp(64 + (gxs(x) + gy) / 4 + ripple)
         val r = clamp(luma + (p0 & 15))
         val g = clamp(luma + (p1 & 15))
         val b = clamp(luma + (p2 & 15))
@@ -106,7 +118,25 @@ object ImageKit {
   def decode(bytes: Array[Byte]): Decoded = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val w = img.getWidth; val h = img.getHeight
-    Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
+    img.getType match {
+      // fast path for the two layouts the JDK codecs actually produce
+      // here (PNG/JPEG RGB → 3BYTE_BGR): read the backing byte raster
+      // directly instead of per-pixel ColorModel conversion via getRGB.
+      // sRGB, no alpha, so the packed value is the same (r<<16|g<<8|b).
+      case BufferedImage.TYPE_3BYTE_BGR =>
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Int](w * h)
+        var i = 0
+        var j = 0
+        while (i < out.length) {
+          out(i) = ((data(j + 2) & 0xFF) << 16) | ((data(j + 1) & 0xFF) << 8) | (data(j) & 0xFF)
+          i += 1; j += 3
+        }
+        Decoded(w, h, out)
+      case _ =>
+        Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
+    }
   }
 
   /** 64-bit average hash: grayscale → 8×8 area mean → above-mean bits,

@@ -88,11 +88,19 @@ object Relational {
     val c  = Tables.load(spark, dir, "customer")
     val o  = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
+    // aggregate by the integer custkey FIRST and attach c_name to the
+    // ~15k aggregated rows afterwards (guide §2.3, aggregate before you
+    // shuffle / shuffle keys not payloads): grouping by (c_custkey,
+    // c_name) dragged the name string through the probe-side pipeline
+    // and both aggregate passes. c_name is functionally dependent on
+    // c_custkey and every o_custkey has a customer row, so the result is
+    // identical (measured −35%: 1.04 s → 0.67 s).
     li.filter(col("l_returnflag") === "R")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"))
+      .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(broadcast(c.select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(20)
   }
@@ -165,7 +173,13 @@ object Relational {
     val o = Tables.load(spark, dir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
-    o.withColumn("rk", row_number().over(w))
+    // project the three live columns and pin the window exchange at full
+    // parallelism: the ~2 MB shuffle otherwise AQE-coalesces to a couple
+    // of partitions and the per-group sort serializes (guide §2.5;
+    // measured 0.51 s → 0.39 s). Scale-guarded: no-op on a wide scan.
+    Tables.spreadBy(o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        col("o_custkey"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rk"))
       .orderBy("o_custkey", "rk")

@@ -67,13 +67,24 @@ object TrainingData {
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // One-Permutation Hashing (Li/Owen/Zhang, NIPS'12) instead of 64
     // classical permutations: each shingle is hashed ONCE and assigned to
-    // slot = top-6-bits(h); the signature is the per-slot min, computed by
-    // a codegen'd explode + groupBy(doc, slot) min — O(|shingles|) work
-    // per doc where 64 nested transform() lambdas (interpreted, not
-    // codegen'd) cost O(64·|shingles|) (measured 4x this query). Empty
+    // slot = top-6-bits(h); the signature is the per-slot min. Empty
     // slots take the next non-empty neighbor (rotation densification,
     // Shrivastava/Li ICML'14), falling back to the doc-global min.
-    val shingled = withShingles(corpusWithNearDups(spark, dir, dropWords = 3))
+    //
+    // The corpus is hash-repartitioned by doc_id FIRST: the input is a
+    // narrow scan (one task), and everything from tokenization to the
+    // signature is per-doc work, so one exchange of the raw text unlocks
+    // full-width compute AND satisfies the signature aggregation's
+    // distribution — the plan runs scan → Exchange(doc_id) → shingle +
+    // explode + aggregate in a single stage (guide §2.4/§2.5; was: two
+    // exchanges of partially-aggregated slot minima, with the whole
+    // interpreted higher-order-function pipeline serialized on one core).
+    // (A 64-conditional-min single-aggregate variant measured 2x SLOWER
+    // than this two-step shape — 64 min(when(slot=k)) buffers blow up the
+    // generated aggregate past what JIT handles; the (doc,slot) min +
+    // map densification keeps per-row agg work at one comparison.)
+    val shingled = withShingles(Tables.spreadBy(
+        corpusWithNearDups(spark, dir, dropWords = 3), col("doc_id")))
       .select(col("doc_id"), explode(expr("transform(shingles, s -> xxhash64(s))")).as("h"))
     val slotMins = shingled
       .groupBy(col("doc_id"), shiftrightunsigned(col("h"), 58).cast("int").as("slot"))

@@ -37,6 +37,45 @@ class ImageKitSpec extends AnyFunSuite {
     }
   }
 
+  test("hoisted pixel loop is bit-identical with the per-pixel reference") {
+    // reference = the pre-optimization per-pixel formula, verbatim
+    def refPixels(imageId: String, w: Int, h: Int): Array[Int] = {
+      val seed = graft.urlkit.UrlKit.xxhash64(s"px:$imageId")
+      val p0 = (seed & 0xFF).toInt
+      val p1 = ((seed >>> 8) & 0xFF).toInt
+      val p2 = ((seed >>> 16) & 0xFF).toInt
+      val fx = 1 + ((seed >>> 24) & 3).toInt
+      val fy = 1 + ((seed >>> 26) & 3).toInt
+      def clamp(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+      val out = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gx = (x * 255) / math.max(1, w - 1)
+        val gy = (y * 255) / math.max(1, h - 1)
+        val ripple = (16 * math.sin(fx * math.Pi * x / w) * math.cos(fy * math.Pi * y / h)).toInt
+        val luma = clamp(64 + (gx + gy) / 4 + ripple)
+        out(y * w + x) = (clamp(luma + (p0 & 15)) << 16) |
+          (clamp(luma + (p1 & 15)) << 8) | clamp(luma + (p2 & 15))
+      }
+      out
+    }
+    ids.foreach { id =>
+      val (w, h) = ImageKit.dims(id)
+      assert(java.util.Arrays.equals(ImageKit.pixels(id, w, h), refPixels(id, w, h)),
+        s"pixel mismatch for $id")
+    }
+  }
+
+  test("raster fast-path decode matches the getRGB reference exactly") {
+    ids.foreach { id =>
+      val (bytes, w, h, _) = ImageKit.generate(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val ref = img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)
+      val got = ImageKit.decode(bytes)
+      assert(got.w == w && got.h == h)
+      assert(java.util.Arrays.equals(got.rgb, ref), s"decode mismatch for $id")
+    }
+  }
+
   test("phash is stable under jpeg re-encode and separates distinct images") {
     val id = ids.find(ImageKit.fmt(_) == "jpeg").get
     val (bytes, w, h, _) = ImageKit.generate(id)
