@@ -31,7 +31,16 @@ final case class FetchResponse(status: Int, body: String)
 
 class SyntheticWeb(val cfg: WebConfig) extends Serializable {
 
-  def hostName(i: Int): String = f"host-$i%03d.test"
+  // the fetch hot path formats a handful of strings per page, and
+  // java.util.Formatter (every f"…%03d…" interpolation) measures ~1-2 µs
+  // per call — hand-rolled padding/grouping below produces byte-identical
+  // strings (pinned by SyntheticWebSpec) at a fraction of the cost
+  @transient private lazy val hostNames: Array[String] =
+    Array.tabulate(cfg.nHosts)(i => "host-" + SyntheticWeb.pad(i.toLong, 3) + ".test")
+
+  def hostName(i: Int): String =
+    if (i >= 0 && i < cfg.nHosts) hostNames(i)
+    else "host-" + SyntheticWeb.pad(i.toLong, 3) + ".test"
 
   def nPages(hostIdx: Int): Int =
     if (hostIdx == 0) cfg.pagesPerHost * cfg.hotFactor else cfg.pagesPerHost
@@ -76,7 +85,7 @@ class SyntheticWeb(val cfg: WebConfig) extends Serializable {
   def imageIdsOf(hostIdx: Int, page: Int): Seq[String] =
     (0 until cfg.imagesPerPage).map { k =>
       val n = math.floorMod(UrlKit.xxhash64(s"${cfg.seed}:img:$hostIdx:$page:$k"), cfg.imageSpace)
-      f"img-$n%08d"
+      "img-" + SyntheticWeb.pad(n, 8)
     }
 
   /** Deterministic caption for an image id — includes unicode, $-amounts
@@ -91,7 +100,14 @@ class SyntheticWeb(val cfg: WebConfig) extends Serializable {
     val month = 1 + math.floorMod(h >>> 37, 12L)
     val day = 1 + math.floorMod(h >>> 42, 28L)
     val year = 2015 + math.floorMod(h >>> 47, 10L)
-    f"Photo of $noun $imageId — obligation $$$dollars%,d.$cents%02d signed $month%02d/$day%02d/$year%d"
+    val sb = new java.lang.StringBuilder(96)
+    sb.append("Photo of ").append(noun).append(' ').append(imageId)
+      .append(" — obligation $").append(SyntheticWeb.grouped(dollars))
+      .append('.').append(SyntheticWeb.pad(cents, 2))
+      .append(" signed ").append(SyntheticWeb.pad(month, 2))
+      .append('/').append(SyntheticWeb.pad(day, 2))
+      .append('/').append(year)
+    sb.toString
   }
 
   /** Outlink hrefs as they appear in the page (pre-canonicalization noise). */
@@ -148,4 +164,34 @@ class SyntheticWeb(val cfg: WebConfig) extends Serializable {
 
 object SyntheticWeb {
   private val PageRe = "^http://host-([0-9]{3})\\.test/page/([0-9]+)".r
+
+  /** `%0<w>d` for non-negative longs, without java.util.Formatter. */
+  private[web] def pad(v: Long, w: Int): String = {
+    val s = java.lang.Long.toString(v)
+    if (s.length >= w) s
+    else {
+      val sb = new java.lang.StringBuilder(w)
+      var i = s.length
+      while (i < w) { sb.append('0'); i += 1 }
+      sb.append(s).toString
+    }
+  }
+
+  /** `%,d` (comma thousands grouping) for non-negative longs. */
+  private[web] def grouped(v: Long): String = {
+    val s = java.lang.Long.toString(v)
+    if (s.length <= 3) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + (s.length - 1) / 3)
+      val head = s.length % 3
+      var i = 0
+      if (head > 0) { sb.append(s, 0, head); i = head }
+      while (i < s.length) {
+        if (i > 0) sb.append(',')
+        sb.append(s, i, i + 3)
+        i += 3
+      }
+      sb.toString
+    }
+  }
 }
