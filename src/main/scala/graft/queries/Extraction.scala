@@ -28,7 +28,10 @@ object Extraction {
   /** Synthesized page table over `part`: html shape varies by partkey so
     * every selector outcome (primary hit, fallback hit, miss) occurs. */
   private def pages(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "part")
+    // the selector chains downstream run ~10 multi-line regexes per page
+    // — spread the one-task scan so extraction runs full-width (§2.5)
+    val p = Tables.spread(Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_type", "p_brand", "p_retailprice"))
     val price = col("p_retailprice").cast("decimal(12,2)").cast("string")
     p.select(col("p_partkey"),
       concat(

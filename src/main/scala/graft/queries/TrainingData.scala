@@ -131,7 +131,9 @@ object TrainingData {
     * pigeonhole: ≤7 flipped bits guarantee one clean 8-bit chunk; at
     * corpus scale the chunk width widens to 16 to keep buckets sparse). */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = corpusWithNearDups(spark, dir, dropWords = 1)
+    // the 64-bit-vote aggregate below is interpreted O(64·|tokens|) per
+    // row — spread the one-task scan so it runs full-width (guide §2.5)
+    val d = Tables.spread(corpusWithNearDups(spark, dir, dropWords = 1))
       .withColumn("tokens", expr("array_distinct(split(lower(text), '\\\\s+'))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, i) -> shiftleft(acc, 1) +
@@ -158,7 +160,10 @@ object TrainingData {
   /** n-gram (word-set) Jaccard near-dup pairs, blocked by (lang, source)
     * — the SQL-checkable exact-similarity member of the dedup family. */
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    // spread the one-task scan before the per-row tokenization (guide
+    // §2.5); the word-explode + self-join below reuse one exchange either
+    // way, so the only cost is the narrow text shuffle
+    val d = Tables.spread(docs(spark, dir).select("doc_id", "lang", "source", "text"))
       .withColumn("words", expr("array_distinct(split(lower(text), '\\\\s+'))"))
       .select(col("doc_id"), col("lang"), col("source"), col("words"),
         size(col("words")).as("nw"))
@@ -202,7 +207,7 @@ object TrainingData {
     * vocabulary — the standard frequency-cutoff trick for all-pairs
     * similarity (cf. prefix filtering). */
   def q24bJaccardCutoff(spark: SparkSession, dir: String, dfMax: Int = 20): DataFrame = {
-    val ex0 = docs(spark, dir)
+    val ex0 = Tables.spread(docs(spark, dir).select("doc_id", "lang", "source", "text"))
       .withColumn("words", expr("array_distinct(split(lower(text), '\\\\s+'))"))
       .select(col("doc_id"), col("lang"), col("source"), explode(col("words")).as("word"))
     // document frequency per (lang, source, word); words are distinct per
@@ -540,7 +545,9 @@ object TrainingData {
          |        array_distinct(transform(
          |          sequence(0, greatest(size(gs) - $w, 0)),
          |          i -> array_min(slice(gs, i + 1, $w))))))))""".stripMargin)
-    docs(spark, dir)
+    // per-row work is O(|text|·w) interpreted gram/window arithmetic —
+    // spread the one-task scan so it runs full-width (guide §2.5)
+    Tables.spread(docs(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), fpsExpr.as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         posexplode(col("fps")).as(Seq("pos", "fingerprint")))
