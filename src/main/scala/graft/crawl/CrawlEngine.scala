@@ -79,14 +79,15 @@ final case class CrawlConfig(
       * A crash replays the whole batch — the same at-least-once contract
       * as a 1-window run, scaled by K.
       *
-      * Default 2: the interleaved toy-config A/B (16×100, budget 200,
+      * Default 3: the interleaved toy-config A/B (16×100, budget 200,
       * one JVM, rep-wise round-robin) read medians 121 (seq prepare),
-      * 181 (w=1), 215 (w=2), 200 (w=4) urls/s — w=2 halves the commit
-      * machinery while keeping batch-replay windows short; w=4's extra
-      * waves cost more in per-wave checkpoint + wider commit unions
-      * than the third and fourth saved commits return. Set 1 to restore
-      * reference-equivalent one-window replay granularity. */
-    windowsPerRun: Int = 2) {
+      * 181 (w=1), 215 (w=2), 200 (w=4) urls/s; a later pass over the
+      * untested middle point read medians 164 (w=2) / 218 (w=3) / 179
+      * (w=4) — w=3 amortizes one more commit round than w=2 before
+      * w=4's per-wave checkpoint + wider commit unions start losing.
+      * Batched ≡ oracle at w=3 is pinned by CrawlEngineSpec. Set 1 to
+      * restore reference-equivalent one-window replay granularity. */
+    windowsPerRun: Int = 3) {
   require(bloomSlices >= 1 && bloomBuckets % bloomSlices == 0,
     s"bloomSlices $bloomSlices must divide bloomBuckets $bloomBuckets")
   // a broadcast map/slice that cannot fit the executor block cache

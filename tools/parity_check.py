@@ -331,11 +331,16 @@ def _img_pixels(image_id, w, h):
 
 def _img_brightness(px):
     """q33's rounded mean brightness: sequential double fold in array
-    order, then Scala math.round semantics (floor(x*100 + 0.5) / 100)."""
+    order, then java.lang.Math.round semantics — floor(x + 1/2) in EXACT
+    arithmetic (JDK-8010430). Decimal keeps the +0.5 exact; a plain
+    float x*100 + 0.5 can double-round across an integer boundary when
+    x*100 sits one ulp below n - 0.5 (ADVICE r05)."""
+    from decimal import Decimal, ROUND_FLOOR
     s = 0.0
     for p in px:
         s += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0
-    return math.floor(s / len(px) * 100.0 + 0.5) / 100.0
+    x = Decimal(s / len(px) * 100.0) + Decimal("0.5")
+    return int(x.to_integral_value(rounding=ROUND_FLOOR)) / 100.0
 
 def _img_phash(px, w, h):
     """ImageKit.phashOfPixels (ImageKit.scala:119-144): 8x8 area-mean
@@ -485,7 +490,10 @@ def main(sf_dir, out_dir):
     for name, fn in sorted(PY_ORACLES.items()):
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
-            continue  # Verify didn't dump it (e.g. partial run)
+            # visible, not silent (ADVICE r05): a full Verify run that
+            # stops dumping a query must not read as green coverage
+            print(f"skip {name} (py): no spark output at {spark_path}")
+            continue
         try:
             ok = compare(name + " (py)", pd.read_parquet(spark_path), fn(sf_dir))
         except Exception as e:
@@ -494,7 +502,8 @@ def main(sf_dir, out_dir):
     for name, fn in sorted(PY_CHECKERS.items()):
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
-            continue  # Verify didn't dump it (e.g. partial run)
+            print(f"skip {name} (py): no spark output at {spark_path}")
+            continue
         try:
             ok = fn(sf_dir, pd.read_parquet(spark_path))
         except Exception as e:
