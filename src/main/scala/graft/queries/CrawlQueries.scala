@@ -83,10 +83,14 @@ object CrawlQueries {
           lit(".test")).as("host"))
       .withColumn("url_hash", xxhash64(col("url")))
     val o = Tables.load(spark, dir, "orders")
+    // same source-integer distinct as the candidate side (the seen URL
+    // is a bijection of (o_custkey % 20, o_orderkey)); this subtree is
+    // computed twice per run — once for the index build, once for the
+    // anti-join probe broadcast — so halving its work pays double
     val seen = o.filter(col("o_orderkey") % 5 === 0)
-      .select(concat(lit("http://host-"), lpad((col("o_custkey") % 20).cast("string"), 3, "0"),
+      .select((col("o_custkey") % 20).as("hk"), col("o_orderkey")).distinct()
+      .select(concat(lit("http://host-"), lpad(col("hk").cast("string"), 3, "0"),
         lit(".test/page/"), col("o_orderkey").cast("string")).as("url"))
-      .distinct()
       .withColumn("url_hash", xxhash64(col("url")))
     val idx = BloomDedup.buildIndex(seen, numBuckets = 16)
     BloomDedup.dedup(cand, seen, Some(idx), numBuckets = 16)
